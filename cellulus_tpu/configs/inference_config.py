@@ -1,0 +1,93 @@
+"""Inference config (reference parity: ``cellulus/configs/inference_config.py:10-159``).
+
+TPU extensions with reference-compatible defaults: ``tile_batch_size``,
+``precision``, ``seed``, ``mean_shift_max_iterations``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from .dataset_config import DatasetConfig
+from .utils import as_config
+
+
+@dataclass
+class InferenceConfig:
+    """Configuration of the 4-stage inference pipeline.
+
+    Attributes:
+        dataset_config: Raw data to predict on.
+        prediction_dataset_config: Output of the predict stage (embeddings).
+        detection_dataset_config: Output of the detect stage.
+        segmentation_dataset_config: Output of the segment stage.
+        evaluation_dataset_config: Ground-truth masks for evaluation.
+        crop_size: Tile size used during sliding-window prediction.
+        p_salt_pepper: Fraction of pixels receiving salt-and-pepper noise
+            during test-time augmentation.
+        num_infer_iterations: TTA passes per noise value (total passes is
+            ``2 * num_infer_iterations``).
+        threshold: Foreground/background threshold on the uncertainty channel;
+            ``None`` = Otsu.
+        clustering: "meanshift" or "greedy".
+        use_seeds: Seed mean-shift from minima of the smoothed offset field.
+        bandwidth: Mean-shift bandwidth; ``None`` = ``0.5 * object_size``.
+        num_bandwidths: Segmentations are produced for ``bandwidth / 2**k``.
+        reduction_probability: Fraction of foreground pixels used to fit
+            mean-shift; the rest is assigned by nearest-center prediction.
+        min_size: Instances below this pixel count are dropped; ``None``
+            derives it from ``object_size``.
+        post_processing: "cell" (grow/shrink halo removal) or "nucleus"
+            (per-instance intensity Otsu + hole filling).
+        grow_distance / shrink_distance: Halo-removal radii ("cell" mode).
+        device: Accepted for reference compat; JAX picks the platform.
+        tile_batch_size: Number of tiles predicted per device batch.
+        mean_shift_max_iterations: Iteration cap of the on-device mean shift.
+    """
+
+    dataset_config: Optional[DatasetConfig] = None
+    prediction_dataset_config: Optional[DatasetConfig] = None
+    detection_dataset_config: Optional[DatasetConfig] = None
+    segmentation_dataset_config: Optional[DatasetConfig] = None
+    evaluation_dataset_config: Optional[DatasetConfig] = None
+    device: str = "cuda:0"
+    crop_size: List[int] = field(default_factory=lambda: [252, 252])
+    p_salt_pepper: float = 0.01
+    num_infer_iterations: int = 16
+    threshold: Optional[float] = None
+    clustering: str = "meanshift"
+    use_seeds: bool = False
+    bandwidth: Optional[float] = None
+    num_bandwidths: int = 1
+    reduction_probability: float = 0.1
+    min_size: Optional[int] = None
+    post_processing: str = "cell"
+    grow_distance: int = 3
+    shrink_distance: int = 6
+    precision: str = "float32"
+    seed: int = 0
+    tile_batch_size: int = 1
+    mean_shift_max_iterations: int = 300
+
+    def __post_init__(self) -> None:
+        for name in (
+            "dataset_config",
+            "prediction_dataset_config",
+            "detection_dataset_config",
+            "segmentation_dataset_config",
+            "evaluation_dataset_config",
+        ):
+            setattr(self, name, as_config(DatasetConfig, getattr(self, name)))
+        self.crop_size = list(self.crop_size)
+        self.p_salt_pepper = float(self.p_salt_pepper)
+        if self.clustering not in ("meanshift", "greedy"):
+            raise ValueError("clustering must be 'meanshift' or 'greedy'")
+        if self.post_processing not in ("cell", "nucleus"):
+            raise ValueError("post_processing must be 'cell' or 'nucleus'")
+        if self.threshold is not None:
+            self.threshold = float(self.threshold)
+        if self.bandwidth is not None:
+            self.bandwidth = float(self.bandwidth)
+        if self.min_size is not None:
+            self.min_size = int(self.min_size)

@@ -1,0 +1,79 @@
+"""Train config (reference parity: ``cellulus/configs/train_config.py:10-127``).
+
+Extra, TPU-specific fields (``precision``, ``seed``, ``num_prefetch_workers``,
+``data_parallelism``) have defaults chosen so reference TOML files work
+verbatim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from .dataset_config import DatasetConfig
+from .utils import as_config
+
+
+@dataclass
+class TrainConfig:
+    """Training hyper-parameters.
+
+    Attributes:
+        train_data_config: Dataset config for training data.
+        validate_data_config: Dataset config for validation data.
+        crop_size: Spatial size of training crops (model input size).
+        batch_size: Samples per optimization step (global batch across the
+            device mesh).
+        max_iterations: Number of optimization steps.
+        initial_learning_rate: Adam learning rate.
+        density: Fraction of pixels sampled as anchors per crop.
+        kappa: Neighborhood radius for reference-pixel sampling.
+        temperature: Gaussian damping factor of the OCE loss.
+        regularizer_weight: Weight of the L2 regularizer on embeddings.
+        save_model_every / save_best_model_every / save_snapshot_every:
+            Checkpoint / best-tracking / snapshot cadences.
+        num_workers: Host-side data-pipeline worker threads.
+        elastic_deform: Enable elastic augmentation.
+        control_point_spacing: Pixel spacing of elastic control points.
+        control_point_jitter: Stddev of control-point jitter.
+        device: Accepted for reference compat; JAX picks the platform.
+        precision: "float32" or "bfloat16" compute for the model.
+        seed: Base RNG seed for init + sampling.
+        data_parallelism: Number of mesh data shards; ``None`` = all local
+            devices.
+    """
+
+    train_data_config: Optional[DatasetConfig] = None
+    validate_data_config: Optional[DatasetConfig] = None
+    crop_size: List[int] = field(default_factory=lambda: [252, 252])
+    batch_size: int = 8
+    max_iterations: int = 100_000
+    initial_learning_rate: float = 4e-5
+    density: float = 0.1
+    kappa: float = 10.0
+    temperature: float = 10.0
+    regularizer_weight: float = 1e-5
+    save_model_every: int = 1_000
+    save_best_model_every: int = 100
+    save_snapshot_every: int = 1_000
+    num_workers: int = 8
+    elastic_deform: bool = True
+    control_point_spacing: int = 64
+    control_point_jitter: float = 2.0
+    device: str = "cuda:0"
+    precision: str = "float32"
+    seed: int = 0
+    data_parallelism: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        self.train_data_config = as_config(DatasetConfig, self.train_data_config)
+        self.validate_data_config = as_config(DatasetConfig, self.validate_data_config)
+        self.crop_size = list(self.crop_size)
+        self.initial_learning_rate = float(self.initial_learning_rate)
+        self.density = float(self.density)
+        self.kappa = float(self.kappa)
+        self.temperature = float(self.temperature)
+        self.regularizer_weight = float(self.regularizer_weight)
+        self.control_point_jitter = float(self.control_point_jitter)
+        if self.precision not in ("float32", "bfloat16"):
+            raise ValueError("precision must be 'float32' or 'bfloat16'")

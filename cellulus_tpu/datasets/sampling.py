@@ -1,0 +1,107 @@
+"""Anchor/reference pixel-pair sampling.
+
+Reference parity (``datasets/zarr_dataset.py:177-248``):
+
+- anchors are uniform integer coordinates in ``[kappa, output - kappa]``
+  (inclusive) per spatial dim, ``num_anchors = density * unbiased[0] *
+  unbiased[1]`` (only the first two dims, even in 3D — reference
+  ``zarr_dataset.py:244-245``),
+- each anchor is repeated ``num_references = density * kappa^2 * pi`` times,
+- reference pixels are ``anchor + offset`` with the offset drawn uniformly
+  from the non-zero integer lattice points strictly inside the kappa-disk.
+
+The reference draws offsets by rejection sampling; here the valid offset
+lattice is precomputed once (it is a static set), and sampling is a single
+uniform index draw — equivalent in distribution, and jit-friendly because
+all shapes are static.
+
+Coordinates are x-first: component 0 is x (fastest-varying axis), matching
+the reference's gather convention (``models/unet.py:108-124``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+
+def disk_offsets(radius: float, num_spatial_dims: int) -> np.ndarray:
+    """All non-zero integer offsets with squared norm < radius^2, ``(M, D)``."""
+    r = int(math.ceil(radius))
+    axes = [np.arange(-r, r + 1)] * num_spatial_dims
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(
+        -1, num_spatial_dims
+    )
+    sq = (grid**2).sum(axis=1)
+    keep = (sq < radius**2) & (sq > 0)
+    return grid[keep].astype(np.int32)
+
+
+def num_anchors(density: float, unbiased_shape: Tuple[int, ...]) -> int:
+    return int(density * unbiased_shape[0] * unbiased_shape[1])
+
+
+def num_references(density: float, kappa: float) -> int:
+    return int(density * kappa**2 * math.pi)
+
+
+@dataclass
+class PairSampler:
+    """Samples (anchor, reference) coordinate pairs for one crop.
+
+    All shapes are static per configuration: ``sample()`` returns arrays of
+    shape ``(num_pairs, D)`` with ``num_pairs = num_anchors * num_references``.
+    """
+
+    output_shape: Tuple[int, ...]
+    density: float
+    kappa: float
+
+    def __post_init__(self):
+        self.num_spatial_dims = len(self.output_shape)
+        self.unbiased_shape = tuple(
+            int(s - 2 * self.kappa) for s in self.output_shape
+        )
+        if any(s <= 0 for s in self.unbiased_shape):
+            raise ValueError(
+                f"output shape {self.output_shape} too small for kappa="
+                f"{self.kappa}"
+            )
+        self.n_anchors = num_anchors(self.density, self.unbiased_shape)
+        self.n_references = num_references(self.density, self.kappa)
+        if self.n_anchors < 1 or self.n_references < 1:
+            raise ValueError(
+                "density/kappa too small: no pairs would be sampled "
+                f"(anchors={self.n_anchors}, references={self.n_references})"
+            )
+        self._offsets = disk_offsets(self.kappa, self.num_spatial_dims)
+
+    @property
+    def num_pairs(self) -> int:
+        return self.n_anchors * self.n_references
+
+    def sample(self, rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+        """Draw ``(anchors, references)`` of shape ``(num_pairs, D)`` (int32).
+
+        Anchor component ``d`` is uniform in ``[kappa, output_shape[d] -
+        kappa]`` inclusive. The x-first component order mirrors the
+        reference: component d is bounded by ``output_shape[d]`` and later
+        indexes spatial axis ``D-1-d`` of the prediction.
+        """
+        k = int(self.kappa)
+        lows = [k] * self.num_spatial_dims
+        highs = [int(s) - k + 1 for s in self.output_shape]
+        anchors = np.stack(
+            [
+                rng.integers(lo, hi, size=self.n_anchors)
+                for lo, hi in zip(lows, highs)
+            ],
+            axis=1,
+        ).astype(np.int32)
+        anchors = np.repeat(anchors, self.n_references, axis=0)
+        idx = rng.integers(0, len(self._offsets), size=len(anchors))
+        references = anchors + self._offsets[idx]
+        return anchors, references

@@ -1,0 +1,243 @@
+"""Tiled sliding-window embedding prediction (reference ``predict.py:9-143``).
+
+TPU-first design replacing the reference's gunpowder Scan + serial-TTA loop:
+
+- tile geometry computed analytically (no dry-run forward): the model's
+  valid-conv context is exact arithmetic (:mod:`..models.geometry`),
+- the raw sample is reflect-padded on host once; tiles stream to the device,
+- all ``2 * num_infer_iterations`` TTA noise passes of a batch of tiles run
+  as ONE batched forward (MXU batch = tiles x noise passes), with mean/std
+  reduced on device — the reference round-trips every pass through host
+  memory (``models/unet.py:84-87``),
+- writeback to the output zarr overlaps with the next batch's compute
+  (async dispatch + a writer thread), and output chunks are aligned to the
+  output tile grid so each tile write touches exactly one chunk.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import itertools
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import InferenceConfig
+from .io import DatasetMetaData, zarr
+from .models import UNetSpec, compute_geometry, tta_embeddings
+from .datasets import normalization_factor_for
+
+
+def tile_origins(extent: int, tile: int) -> List[int]:
+    """Start offsets covering ``[0, extent)`` with stride ``tile``; the last
+    tile is shifted inward (shingled) so every pixel is covered exactly."""
+    if extent <= tile:
+        return [0]
+    origins = list(range(0, extent - tile, tile))
+    origins.append(extent - tile)
+    return origins
+
+
+def predict_sample(
+    spec: UNetSpec,
+    params,
+    raw: np.ndarray,
+    inference_config: InferenceConfig,
+    normalization_factor: float,
+    sample_seed: int = 0,
+    compute_dtype=jnp.float32,
+    write_fn=None,
+) -> np.ndarray:
+    """Predict TTA embeddings for one full sample.
+
+    Args:
+        raw: ``(C, *spatial)`` un-normalized raw data.
+        write_fn: optional callback ``(tile_np (D+1, *tile), origin)`` for
+            streaming writeback; when None, a full array is assembled and
+            returned.
+
+    Returns:
+        ``(D+1, *spatial)`` embeddings (when ``write_fn`` is None).
+    """
+    crop_size = tuple(inference_config.crop_size)
+    geometry = compute_geometry(crop_size, spec.downsampling_factors)
+    out_tile = geometry.output_size
+    context = geometry.context
+
+    spatial = raw.shape[1:]
+    ndim = len(spatial)
+    D = spec.out_channels
+
+    # pad so that (a) every dim fits at least one output tile and (b) the
+    # context halo is available at the borders
+    eff = tuple(max(s, o) for s, o in zip(spatial, out_tile))
+    pad = [(0, 0)] + [
+        (c, c + (e - s)) for s, e, c in zip(spatial, eff, context)
+    ]
+    padded = np.pad(raw.astype(np.float32) * normalization_factor, pad, mode="reflect")
+
+    origins = list(
+        itertools.product(*[tile_origins(e, o) for e, o in zip(eff, out_tile)])
+    )
+
+    tb = max(1, int(inference_config.tile_batch_size))
+    in_tile = tuple(o + 2 * c for o, c in zip(out_tile, context))
+
+    @partial(jax.jit, static_argnames=())
+    def run_batch(tiles, keys):
+        # tiles: (T, *in_tile, C) channels-last
+        def one(tile, key):
+            return tta_embeddings(
+                spec,
+                params,
+                tile,
+                key,
+                inference_config.p_salt_pepper,
+                inference_config.num_infer_iterations,
+                compute_dtype,
+            )
+
+        return jax.vmap(one)(tiles, keys)
+
+    result = (
+        None
+        if write_fn is not None
+        else np.zeros((D + 1, *spatial), dtype=np.float32)
+    )
+
+    def emit(tile_np: np.ndarray, origin: Tuple[int, ...]):
+        # crop the written region to the true spatial extent
+        sel_out = tuple(
+            slice(o, min(o + t, s)) for o, t, s in zip(origin, out_tile, spatial)
+        )
+        sel_tile = tuple(
+            slice(0, sl.stop - sl.start) for sl in sel_out
+        )
+        if any(sl.stop <= sl.start for sl in sel_out):
+            return
+        data = tile_np[(slice(None),) + sel_tile]
+        if write_fn is not None:
+            write_fn(data, tuple(sl.start for sl in sel_out))
+        else:
+            result[(slice(None),) + sel_out] = data
+
+    pending = None
+    for start in range(0, len(origins), tb):
+        batch_origins = origins[start : start + tb]
+        tiles = np.stack(
+            [
+                np.moveaxis(
+                    padded[
+                        (slice(None),)
+                        + tuple(
+                            slice(o, o + it) for o, it in zip(orig, in_tile)
+                        )
+                    ],
+                    0,
+                    -1,
+                )
+                for orig in batch_origins
+            ]
+        )
+        keys = jnp.stack(
+            [
+                jax.random.fold_in(
+                    jax.random.PRNGKey(inference_config.seed),
+                    sample_seed * 1_000_003 + start + i,
+                )
+                for i in range(len(batch_origins))
+            ]
+        )
+        if len(batch_origins) < tb:
+            # pad the final batch to keep a single compiled shape
+            reps = tb - len(batch_origins)
+            tiles = np.concatenate([tiles, np.repeat(tiles[-1:], reps, axis=0)])
+            keys = jnp.concatenate([keys, jnp.repeat(keys[-1:], reps, axis=0)])
+        out = run_batch(jnp.asarray(tiles), keys)  # (T, *out_tile, D+1)
+        if pending is not None:
+            prev_out, prev_origins = pending
+            prev_np = np.moveaxis(np.asarray(prev_out), -1, 1)
+            for i, orig in enumerate(prev_origins):
+                emit(prev_np[i], orig)
+        pending = (out, batch_origins)
+    if pending is not None:
+        prev_out, prev_origins = pending
+        prev_np = np.moveaxis(np.asarray(prev_out), -1, 1)
+        for i, orig in enumerate(prev_origins):
+            emit(prev_np[i], orig)
+
+    return result
+
+
+def predict(
+    spec: UNetSpec,
+    params,
+    inference_config: InferenceConfig,
+    normalization_factor: float,
+    compute_dtype=jnp.float32,
+) -> None:
+    """Run the predict stage: raw zarr -> embeddings zarr."""
+    dataset_config = inference_config.dataset_config
+    meta = DatasetMetaData.from_dataset_config(dataset_config)
+
+    if normalization_factor is None:
+        raw_ds = zarr.open(dataset_config.container_path, "r")[
+            dataset_config.dataset_name
+        ]
+        normalization_factor = normalization_factor_for(raw_ds.dtype)
+
+    geometry = compute_geometry(
+        tuple(inference_config.crop_size), spec.downsampling_factors
+    )
+    out_tile = geometry.output_size
+
+    f = zarr.open(inference_config.prediction_dataset_config.container_path, "a")
+    ds = f.create_dataset(
+        inference_config.prediction_dataset_config.dataset_name,
+        shape=(
+            meta.num_samples,
+            meta.num_spatial_dims + 1,
+            *meta.spatial_array,
+        ),
+        dtype=np.float32,
+        chunks=(1, meta.num_spatial_dims + 1, *out_tile),
+    )
+
+    raw_container = zarr.open(dataset_config.container_path, "r")
+    raw_ds = raw_container[dataset_config.dataset_name]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+        futures = []
+
+        for sample in range(meta.num_samples):
+            raw = np.asarray(raw_ds[sample], dtype=np.float32)
+
+            def write_fn(tile_np, origin, sample=sample):
+                sel = (sample, slice(None)) + tuple(
+                    slice(o, o + t) for o, t in zip(origin, tile_np.shape[1:])
+                )
+                futures.append(pool.submit(ds.__setitem__, sel, tile_np))
+
+            predict_sample(
+                spec,
+                params,
+                raw,
+                inference_config,
+                normalization_factor,
+                sample_seed=sample,
+                compute_dtype=compute_dtype,
+                write_fn=write_fn,
+            )
+        for fut in futures:
+            fut.result()
+
+    ds.attrs.update(
+        {
+            "axis_names": ["s", "c"] + ["t", "z", "y", "x"][-meta.num_spatial_dims :],
+            "resolution": [1] * meta.num_spatial_dims,
+            "offset": [0] * meta.num_spatial_dims,
+        }
+    )

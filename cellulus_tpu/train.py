@@ -1,0 +1,324 @@
+"""Training runtime (reference parity: ``cellulus/train.py:16-224``).
+
+TPU-first design: one jitted SPMD train step (forward -> coordinate gather ->
+fused OCE loss -> grad -> Adam-with-decay update) over a data-parallel device
+mesh. Batches are sharded on the ``data`` mesh axis; XLA inserts the gradient
+all-reduce over ICI. Host work (crop sampling, logging, checkpoints,
+snapshots) overlaps with device compute via the prefetching batch loader and
+JAX's async dispatch.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .configs import ExperimentConfig
+from .criterions import oce_loss
+from .datasets import BatchLoader, get_dataset
+from .io import zarr
+from .models import (
+    UNetSpec,
+    compute_geometry,
+    forward,
+    init_params,
+    select_and_add_coordinates,
+    spec_from_config,
+)
+from .parallel import batch_sharding, make_mesh, replicated_sharding
+from .utils.checkpoint import load_checkpoint, save_checkpoint
+from .utils.logger import get_logger
+
+
+def make_optimizer(learning_rate: float, weight_decay: float = 0.01):
+    """torch ``Adam(lr, weight_decay)`` semantics: the decay term enters the
+    gradient *before* the Adam moments (this is Adam-with-L2, not AdamW) —
+    reference ``train.py:80-82``."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-learning_rate),
+    )
+
+
+def make_train_step(
+    spec: UNetSpec,
+    optimizer,
+    temperature: float,
+    regularizer_weight: float,
+    compute_dtype=jnp.float32,
+):
+    """Build the jittable train step.
+
+    Takes/returns channels-last batches: ``raw (B, *spatial, C)``,
+    coordinates ``(B, P, D)`` x-first.
+    """
+
+    def step(params, opt_state, raw, anchors, references):
+        def loss_fn(p):
+            offsets = forward(spec, p, raw, compute_dtype)
+            e_anchor = select_and_add_coordinates(offsets, anchors)
+            e_reference = select_and_add_coordinates(offsets, references)
+            loss, oce, reg = oce_loss(
+                e_anchor, e_reference, temperature, regularizer_weight
+            )
+            return loss, (oce, reg, offsets)
+
+        (loss, (oce, reg, offsets)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, oce, offsets
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# state (de)serialization helpers
+# ---------------------------------------------------------------------------
+
+
+def pack_state(
+    iteration: int,
+    lowest_loss: float,
+    params: Any,
+    opt_state: Any,
+    logger_data: Dict,
+) -> Dict[str, Any]:
+    opt_leaves = jax.tree_util.tree_leaves(opt_state)
+    return {
+        "iteration": iteration,
+        "lowest_loss": float(lowest_loss),
+        "params": params,
+        "opt_leaves": opt_leaves,
+        "logger_data": logger_data,
+    }
+
+
+def unpack_opt_state(state: Dict[str, Any], template_opt_state: Any) -> Any:
+    leaves = state.get("opt_leaves")
+    if leaves is None:
+        return template_opt_state
+    treedef = jax.tree_util.tree_structure(template_opt_state)
+    template_leaves = jax.tree_util.tree_leaves(template_opt_state)
+    if len(leaves) != len(template_leaves):
+        return template_opt_state
+    # msgpack restores dict-valued leaves lists; coerce dtypes to template
+    if isinstance(leaves, dict):
+        leaves = [leaves[k] for k in sorted(leaves, key=int)]
+    leaves = [
+        jnp.asarray(leaf, dtype=t.dtype) for leaf, t in zip(leaves, template_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def coerce_params_like(loaded: Any, template: Any) -> Any:
+    """Restore loaded (possibly list/np) param leaves into the template
+    structure with matching dtypes."""
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    l_leaves = jax.tree_util.tree_leaves(loaded)
+    if len(t_leaves) != len(l_leaves):
+        raise ValueError(
+            f"checkpoint has {len(l_leaves)} param arrays, model expects "
+            f"{len(t_leaves)}"
+        )
+    leaves = []
+    for lv, tv in zip(l_leaves, t_leaves):
+        arr = jnp.asarray(lv, dtype=tv.dtype)
+        if arr.shape != tv.shape:
+            raise ValueError(
+                f"checkpoint param shape {arr.shape} != model {tv.shape}"
+            )
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# snapshots
+# ---------------------------------------------------------------------------
+
+
+def save_snapshot(raw_b, prediction_b, iteration: int, path="snapshots.zarr") -> None:
+    """Write raw + mean-centered prediction (reference ``train.py:194-224``).
+
+    Args:
+        raw_b: ``(B, C, *spatial)`` numpy batch.
+        prediction_b: ``(B, D, *spatial_out)`` numpy predictions.
+    """
+    num_spatial_dims = raw_b.ndim - 2
+    axis_names = ["s", "c"] + ["t", "z", "y", "x"][-num_spatial_dims:]
+    offset = tuple(
+        (a - b) / 2
+        for a, b in zip(raw_b.shape[-num_spatial_dims:], prediction_b.shape[-num_spatial_dims:])
+    )
+    f = zarr.open(path, "a")
+    f[f"{iteration}/raw"] = raw_b
+    f[f"{iteration}/raw"].attrs.update(
+        {"axis_names": axis_names, "resolution": [1] * num_spatial_dims}
+    )
+    pred = np.asarray(prediction_b, dtype=np.float32)
+    mean = pred.reshape(pred.shape[0], pred.shape[1], -1).mean(axis=2)
+    pred = pred - mean[(...,) + (np.newaxis,) * num_spatial_dims]
+    f[f"{iteration}/prediction"] = pred
+    f[f"{iteration}/prediction"].attrs.update(
+        {
+            "axis_names": axis_names,
+            "offset": list(offset),
+            "resolution": [1] * num_spatial_dims,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# main entry
+# ---------------------------------------------------------------------------
+
+
+def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
+    """Run training as configured. Returns the final state dict."""
+    print(experiment_config)
+
+    train_config = experiment_config.train_config
+    model_config = experiment_config.model_config
+    os.makedirs("models", exist_ok=True)
+
+    crop_size = tuple(train_config.crop_size)
+    geometry = compute_geometry(crop_size, model_config.downsampling_factors)
+
+    dataset = get_dataset(
+        dataset_config=train_config.train_data_config,
+        crop_size=crop_size,
+        elastic_deform=train_config.elastic_deform,
+        control_point_spacing=train_config.control_point_spacing,
+        control_point_jitter=train_config.control_point_jitter,
+        density=train_config.density,
+        kappa=train_config.kappa,
+        normalization_factor=experiment_config.normalization_factor,
+        output_shape=geometry.output_size,
+        seed=train_config.seed,
+    )
+
+    spec = spec_from_config(
+        model_config,
+        in_channels=dataset.get_num_channels(),
+        num_spatial_dims=dataset.get_num_spatial_dims(),
+    )
+    compute_dtype = (
+        jnp.bfloat16 if train_config.precision == "bfloat16" else jnp.float32
+    )
+
+    params = init_params(jax.random.PRNGKey(train_config.seed), spec)
+    optimizer = make_optimizer(train_config.initial_learning_rate)
+    opt_state = optimizer.init(params)
+
+    logger = get_logger(keys=["loss", "oce_loss"], title="loss")
+
+    start_iteration = 0
+    lowest_loss = 1e6
+    if model_config.checkpoint is not None:
+        print(f"Resuming model from {model_config.checkpoint}")
+        state = load_checkpoint(model_config.checkpoint)
+        params = coerce_params_like(state["params"], params)
+        opt_state = unpack_opt_state(state, opt_state)
+        start_iteration = int(state.get("iteration", -1)) + 1
+        lowest_loss = float(state.get("lowest_loss", 1e6))
+        logger.data = state.get("logger_data", logger.data)
+    elif not model_config.initialize:
+        # reference semantics: initialize=False keeps the backbone's default
+        # init; our init is already Kaiming so this is a no-op, kept for API
+        # parity (reference train.py:65-68)
+        pass
+
+    # device mesh: data-parallel over the largest divisor of batch_size
+    n_dev = (
+        train_config.data_parallelism
+        if train_config.data_parallelism is not None
+        else len(jax.devices())
+    )
+    while train_config.batch_size % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(n_dev)
+    data_sh = batch_sharding(mesh)
+    rep_sh = replicated_sharding(mesh)
+    params = jax.device_put(params, rep_sh)
+    opt_state = jax.device_put(opt_state, rep_sh)
+
+    step = make_train_step(
+        spec,
+        optimizer,
+        train_config.temperature,
+        train_config.regularizer_weight,
+        compute_dtype,
+    )
+    step = jax.jit(step, donate_argnums=(0, 1))
+
+    loader = BatchLoader(
+        dataset, train_config.batch_size, num_workers=train_config.num_workers
+    )
+
+    epoch_loss = 0.0
+    num_iterations = 0
+    iteration = start_iteration - 1
+    with loader:
+        batches = iter(loader)
+        for iteration in range(start_iteration, train_config.max_iterations):
+            raw_np, anchors_np, refs_np = next(batches)
+            # channels-last for the device
+            raw = jax.device_put(np.moveaxis(raw_np, 1, -1), data_sh)
+            anchors = jax.device_put(anchors_np, data_sh)
+            references = jax.device_put(refs_np, data_sh)
+
+            params, opt_state, loss, oce, offsets = step(
+                params, opt_state, raw, anchors, references
+            )
+
+            loss_f = float(loss)
+            oce_f = float(oce)
+            print(f"===> iteration: {iteration}, loss: {loss_f:.6f}, oce loss: {oce_f:.6f}")
+            logger.add("loss", loss_f)
+            logger.add("oce_loss", oce_f)
+            logger.step()
+
+            epoch_loss += loss_f
+            num_iterations += 1
+            if iteration % train_config.save_best_model_every == 0:
+                mean_loss = epoch_loss / num_iterations
+                if mean_loss < lowest_loss:
+                    lowest_loss = mean_loss
+                    save_checkpoint(
+                        Path("models") / "best_loss.ckpt",
+                        pack_state(
+                            iteration, lowest_loss, params, opt_state, logger.data
+                        ),
+                    )
+                    print(f"Best model weights saved at iteration {iteration}")
+                epoch_loss = 0.0
+                num_iterations = 0
+
+            if (
+                iteration % train_config.save_model_every == 0
+                or iteration == train_config.max_iterations - 1
+            ):
+                save_checkpoint(
+                    Path("models") / (str(iteration).zfill(6) + ".ckpt"),
+                    pack_state(
+                        iteration, lowest_loss, params, opt_state, logger.data
+                    ),
+                )
+                print(f"Checkpoint saved at iteration {iteration}")
+
+            if iteration % train_config.save_snapshot_every == 0:
+                pred_np = np.moveaxis(np.asarray(offsets), -1, 1)
+                save_snapshot(raw_np, pred_np, iteration)
+
+    logger.close()
+    return pack_state(iteration, lowest_loss, params, opt_state, logger.data)
