@@ -14,28 +14,29 @@ SURVEY.md §3.5):
     cellulus_tpu.infer(experiment_config)
 """
 
+import importlib
+import sys
+
 __version__ = "0.1.0"
 
 
-def train(experiment_config):
-    import importlib
-    import sys
-
+def _train(experiment_config):
     mod = importlib.import_module(".train", __name__)
-    # importing the submodule rebinds the package attribute `train` to the
-    # module object (the reference has this exact trap, SURVEY.md §3.5);
-    # restore the callable so repeated `cellulus_tpu.train(...)` works
-    sys.modules[__name__].train = train
+    # importing the submodule rebinds the package attribute `train` from
+    # this wrapper to the module object (the reference has this exact trap,
+    # SURVEY.md §3.5); restore the callable so repeated
+    # `cellulus_tpu.train(...)` calls keep working
+    sys.modules[__name__].train = _train
     return mod.train(experiment_config)
 
 
-def infer(experiment_config):
-    import importlib
-    import sys
-
+def _infer(experiment_config):
     mod = importlib.import_module(".infer", __name__)
-    sys.modules[__name__].infer = infer
+    sys.modules[__name__].infer = _infer
     return mod.infer(experiment_config)
 
+
+train = _train
+infer = _infer
 
 __all__ = ["train", "infer", "__version__"]
