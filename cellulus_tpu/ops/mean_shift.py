@@ -117,9 +117,13 @@ def _fit_kernel(
     # drop empty / invalid seeds
     keep = s_valid & (n_final > 0)
 
-    # sklearn dedupe: sort by population desc (stable), greedily keep a
-    # center and suppress everything within `bandwidth` of it
-    order = jnp.argsort(-jnp.where(keep, n_final, -1.0), stable=True)
+    # sklearn dedupe: sort by (population, center coords) lexicographically
+    # descending (sklearn sorts center_intensity_dict items with
+    # ``key=lambda tup: (tup[1], tup[0]), reverse=True``), then greedily keep
+    # a center and suppress everything within `bandwidth` of it
+    sort_counts = jnp.where(keep, n_final, -1.0)
+    lex_keys = [-centers[:, d_] for d_ in reversed(range(d))] + [-sort_counts]
+    order = jnp.lexsort(lex_keys)
     sc = centers[order]
     s_keep = keep[order]
     d2_ss = (

@@ -1,0 +1,183 @@
+"""End-to-end inference pipeline tests: train -> predict -> detect ->
+segment -> evaluate on synthetic blobs."""
+
+import numpy as np
+import pytest
+
+import cellulus_tpu
+from cellulus_tpu.configs import ExperimentConfig
+from cellulus_tpu.io import zarr
+
+
+def _experiment(container, out_container, clustering="meanshift", post="cell",
+                train_iters=2):
+    return ExperimentConfig(
+        **{
+            "experiment_name": "pipeline-test",
+            "object_size": 10,
+            "model_config": {"num_fmaps": 12, "fmap_inc_factor": 2},
+            "train_config": {
+                "batch_size": 2,
+                "crop_size": [36, 36],
+                "kappa": 6.0,
+                "max_iterations": train_iters,
+                "num_workers": 2,
+                "elastic_deform": False,
+                "save_model_every": 1000,
+                "save_snapshot_every": 1000,
+                "train_data_config": {
+                    "container_path": str(container),
+                    "dataset_name": "train",
+                },
+            },
+            "inference_config": {
+                "crop_size": [68, 68],
+                "num_infer_iterations": 2,
+                "clustering": clustering,
+                "post_processing": post,
+                "dataset_config": {
+                    "container_path": str(container),
+                    "dataset_name": "train",
+                },
+                "prediction_dataset_config": {
+                    "container_path": str(out_container),
+                    "dataset_name": "embeddings",
+                },
+                "detection_dataset_config": {
+                    "container_path": str(out_container),
+                    "dataset_name": "detection",
+                    "secondary_dataset_name": "embeddings",
+                },
+                "segmentation_dataset_config": {
+                    "container_path": str(out_container),
+                    "dataset_name": "segmentation",
+                    "secondary_dataset_name": "detection",
+                },
+            },
+        }
+    )
+
+
+@pytest.mark.parametrize("clustering", ["meanshift", "greedy"])
+def test_full_pipeline(blob_container_2d, tmp_path, monkeypatch, clustering):
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "out.zarr"
+    config = _experiment(blob_container_2d, out, clustering=clustering)
+    cellulus_tpu.train(config)
+    config.model_config.checkpoint = tmp_path / "models" / "best_loss.ckpt"
+
+    cellulus_tpu.infer(config)
+
+    f = zarr.open(out, "r")
+    emb = f["embeddings"]
+    assert emb.shape == (2, 3, 128, 128)
+    assert emb.attrs["axis_names"] == ["s", "c", "y", "x"]
+    data = emb[0]
+    assert np.isfinite(data).all()
+    assert data[-1].min() >= 0  # uncertainty channel
+
+    det = f["detection"]
+    assert det.shape == (2, 1, 128, 128)
+    assert f["binary-segmentation"].shape == (2, 1, 128, 128)
+    assert f["centered-embeddings"].shape == (2, 3, 128, 128)
+
+    seg = f["segmentation"]
+    assert seg.shape == (2, 1, 128, 128)
+    assert np.asarray(seg[...]).max() >= 0
+
+
+def test_evaluate_stage(blob_container_2d, tmp_path, monkeypatch):
+    """Evaluate ground truth against itself: F1 = SEG = 1."""
+    monkeypatch.chdir(tmp_path)
+    from cellulus_tpu.configs import InferenceConfig
+    from cellulus_tpu.evaluate import evaluate
+
+    # copy gt into the expected (s, num_bandwidths, *sp) layout
+    src = zarr.open(blob_container_2d, "r")
+    gt = np.asarray(src["groundtruth"][...])
+    out = tmp_path / "eval.zarr"
+    f = zarr.open(out, "a")
+    f["groundtruth"] = gt
+    f["groundtruth"].attrs["axis_names"] = ["s", "c", "y", "x"]
+    f["segmentation"] = gt  # (s, 1, y, x) == one bandwidth
+    inference_config = InferenceConfig(
+        dataset_config={
+            "container_path": str(out),
+            "dataset_name": "groundtruth",
+        },
+        evaluation_dataset_config={
+            "container_path": str(out),
+            "dataset_name": "groundtruth",
+            "secondary_dataset_name": "segmentation",
+        },
+        num_bandwidths=1,
+    )
+    results = evaluate(inference_config)
+    assert results[0]["F1"] == 1.0
+    assert abs(results[0]["SEG"] - 1.0) < 1e-9
+    assert (tmp_path / "results_bandwidth-0.txt").exists()
+
+
+def test_evaluate_metrics_partial_overlap():
+    from cellulus_tpu.evaluate import compute_F1, compute_pairwise_IoU
+
+    gt = np.zeros((20, 20), np.uint16)
+    gt[2:10, 2:10] = 1  # 64 px
+    gt[12:18, 12:18] = 2  # 36 px
+    pred = np.zeros((20, 20), np.uint16)
+    pred[2:10, 2:10] = 5  # perfect match of gt 1
+    pred[12:18, 2:6] = 7  # no overlap with gt 2
+    IoU, SEG_sum, n_gt = compute_pairwise_IoU(pred, gt)
+    assert n_gt == 2
+    assert IoU.shape == (2, 2)
+    np.testing.assert_allclose(IoU[0, 0], 1.0)
+    f1, tp, fp, fn = compute_F1(IoU)
+    assert (tp, fp, fn) == (1, 1, 1)
+    np.testing.assert_allclose(SEG_sum, 1.0)
+
+
+def test_evaluate_matches_reference_formula():
+    """Cross-check the bincount-based IoU against a direct O(P*G*N) loop."""
+    rng = np.random.default_rng(3)
+    pred = rng.integers(0, 5, size=(40, 40)).astype(np.uint16)
+    gt = rng.integers(0, 4, size=(40, 40)).astype(np.uint16)
+    from cellulus_tpu.evaluate import compute_pairwise_IoU
+
+    IoU, SEG_sum, n_gt = compute_pairwise_IoU(pred, gt)
+    pred_ids = np.unique(pred)[1:]
+    gt_ids = np.unique(gt)[1:]
+    IoU_ref = np.zeros((len(pred_ids), len(gt_ids)))
+    IoG_ref = np.zeros_like(IoU_ref)
+    for j, p in enumerate(pred_ids):
+        for k, g in enumerate(gt_ids):
+            inter = ((pred == p) & (gt == g)).sum()
+            union = ((pred == p) | (gt == g)).sum()
+            IoU_ref[j, k] = inter / union
+            IoG_ref[j, k] = inter / (gt == g).sum()
+    np.testing.assert_allclose(IoU, IoU_ref, rtol=1e-12)
+    np.testing.assert_allclose(SEG_sum, IoU_ref[IoG_ref > 0.5].sum(), rtol=1e-12)
+
+
+def test_segment_remove_halo():
+    from cellulus_tpu.segment import remove_halo
+
+    seg = np.zeros((30, 30), np.uint16)
+    seg[5:25, 5:12] = 1
+    seg[5:25, 14:21] = 2  # 2-px gap between instances
+    out = remove_halo(seg, grow_distance=3, shrink_distance=6)
+    # shrink > grow: instances erode, gap widens, ids preserved
+    assert set(np.unique(out)) <= {0, 1, 2}
+    assert (out == 1).sum() < (seg == 1).sum()
+    assert ((out == 1) & (seg != 1)).sum() == 0
+
+
+def test_segment_nucleus_mode():
+    from cellulus_tpu.segment import nucleus_partition
+
+    raw = np.zeros((20, 20), np.float32)
+    raw[4:10, 4:10] = 1.0  # bright nucleus inside a larger detection
+    seg = np.zeros((20, 20), np.uint16)
+    seg[2:12, 2:12] = 3
+    out = nucleus_partition(seg, raw)
+    assert (out[4:10, 4:10] == 3).all()
+    assert out[2, 2] == 0  # dim region dropped
