@@ -1,0 +1,295 @@
+"""End-to-end inference throughput benchmark.
+
+Measures 2D tiles/sec through the full inference path — TTA embedding
+prediction + mean-shift clustering + segmentation post-processing — on
+synthetic blob data with the paper-recipe flagship model (64 fmaps, inc
+factor 3, one 2x level, 252^2 tiles; BASELINE.md "paper training recipe").
+The model is trained briefly on-device first so the foreground masks and
+cluster structure the detect stage sees are realistic.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is measured against a PyTorch re-implementation of the
+reference's inference hot path executed on this host's CPU (the reference's
+own GPU environment is not available here): serial 2x16 TTA forwards with
+per-pass host transfers (reference models/unet.py:73-100) + sklearn
+MeanShift fit/predict (reference utils/mean_shift.py:60-76) + scipy
+segmentation, on identical data. The baseline number is cached in
+``.bench_baseline.json`` (per-host) after first measurement.
+
+Env knobs: BENCH_TRAIN_ITERS (default 200), BENCH_SAMPLES (default 2),
+BENCH_SIZE (default 944), BENCH_SKIP_BASELINE=1 to report vs_baseline from
+cache only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+TRAIN_ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "200"))
+NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "2"))
+SIZE = int(os.environ.get("BENCH_SIZE", "944"))  # 4x4 output tiles of 236^2
+NUM_FMAPS = int(os.environ.get("BENCH_NUM_FMAPS", "64"))
+BASELINE_CACHE = REPO / ".bench_baseline.json"
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import cellulus_tpu  # noqa: F401
+    from cellulus_tpu.configs import ExperimentConfig
+    from cellulus_tpu.detect import detect_sample
+    from cellulus_tpu.io import zarr
+    from cellulus_tpu.models import compute_geometry, init_params, spec_from_config
+    from cellulus_tpu.predict import predict_sample
+    from cellulus_tpu.segment import remove_halo
+    from cellulus_tpu.ops.components import size_filter
+    from cellulus_tpu.train import make_optimizer, make_train_step
+    from cellulus_tpu.datasets import BatchLoader, get_dataset
+    from synthetic import make_blob_container
+
+    work = REPO / ".bench_work"
+    work.mkdir(exist_ok=True)
+    container = work / "bench_data.zarr"
+    if not (container / "train" / ".zarray").exists():
+        log("generating synthetic data...")
+        make_blob_container(
+            container, num_samples=NUM_SAMPLES, size=SIZE, ndim=2, seed=5,
+        )
+
+    config = ExperimentConfig(
+        **{
+            "experiment_name": "bench",
+            "object_size": int(SIZE * 0.13),
+            "model_config": {
+                "num_fmaps": NUM_FMAPS,
+                "fmap_inc_factor": 3,
+                "features_in_last_layer": 64,
+            },
+            "train_config": {
+                "batch_size": 8,
+                "crop_size": [252, 252],
+                "max_iterations": TRAIN_ITERS,
+                "num_workers": 4,
+                "elastic_deform": False,
+                "precision": "bfloat16",
+                "train_data_config": {
+                    "container_path": str(container),
+                    "dataset_name": "train",
+                },
+            },
+            "inference_config": {
+                "crop_size": [252, 252],
+                "num_infer_iterations": 16,
+                "p_salt_pepper": 0.01,
+                "reduction_probability": 0.1,
+                "tile_batch_size": 4,
+            },
+        }
+    )
+
+    tc = config.train_config
+    ic = config.inference_config
+    ic.bandwidth = 0.5 * config.object_size
+    ic.min_size = int(0.1 * np.pi * config.object_size**2 / 4)
+
+    spec = spec_from_config(config.model_config, in_channels=1, num_spatial_dims=2)
+    geometry = compute_geometry(tuple(ic.crop_size), spec.downsampling_factors)
+    out_tile = geometry.output_size
+    tiles_per_sample = int(np.ceil(SIZE / out_tile[0])) * int(
+        np.ceil(SIZE / out_tile[1])
+    )
+    n_tiles = tiles_per_sample * NUM_SAMPLES
+
+    # ---- brief on-device training so detect sees realistic embeddings ----
+    log(f"training {TRAIN_ITERS} iters on {jax.devices()[0].platform}...")
+    dataset = get_dataset(
+        dataset_config=tc.train_data_config,
+        crop_size=tuple(tc.crop_size),
+        elastic_deform=False,
+        control_point_spacing=tc.control_point_spacing,
+        control_point_jitter=tc.control_point_jitter,
+        density=tc.density,
+        kappa=tc.kappa,
+        normalization_factor=None,
+        output_shape=geometry.output_size,
+        seed=0,
+    )
+    params = init_params(jax.random.PRNGKey(0), spec)
+    optimizer = make_optimizer(1e-4)
+    opt_state = optimizer.init(params)
+    step = jax.jit(
+        make_train_step(spec, optimizer, tc.temperature, tc.regularizer_weight,
+                        jnp.bfloat16),
+        donate_argnums=(0, 1),
+    )
+    t_train0 = time.perf_counter()
+    train_samples = 0
+    with BatchLoader(dataset, tc.batch_size, num_workers=4) as loader:
+        it = iter(loader)
+        for i in range(TRAIN_ITERS):
+            raw_np, anchors_np, refs_np = next(it)
+            params, opt_state, loss, _, _ = step(
+                params,
+                opt_state,
+                jnp.asarray(np.moveaxis(raw_np, 1, -1)),
+                jnp.asarray(anchors_np),
+                jnp.asarray(refs_np),
+            )
+            train_samples += tc.batch_size
+            if i == 0:
+                jax.block_until_ready(loss)
+                t_train0 = time.perf_counter()  # exclude compile
+                train_samples = 0
+    jax.block_until_ready(loss)
+    train_secs = time.perf_counter() - t_train0
+    train_sps = train_samples / max(train_secs, 1e-9)
+    log(f"train: {train_sps:.2f} samples/s/chip (loss {float(loss):.3f})")
+
+    # ---- timed inference: predict + detect + segment ---------------------
+    raw_all = np.asarray(zarr.open(container, "r")["train"][...], np.float32)
+    rng = np.random.default_rng(0)
+
+    # warm up compiles out of the timed region
+    _ = predict_sample(
+        spec, params, raw_all[0], ic, 1.0 / 255, sample_seed=0,
+        compute_dtype=jnp.bfloat16,
+    )
+
+    t0 = time.perf_counter()
+    embeddings_all = []
+    for s in range(NUM_SAMPLES):
+        embeddings_all.append(
+            predict_sample(
+                spec, params, raw_all[s], ic, 1.0 / 255, sample_seed=s,
+                compute_dtype=jnp.bfloat16,
+            )
+        )
+    t_predict = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    detections = []
+    for s in range(NUM_SAMPLES):
+        _, _, _, det = detect_sample(embeddings_all[s], ic, 2, rng)
+        detections.append(det[0])
+    t_detect = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for s in range(NUM_SAMPLES):
+        seg = remove_halo(detections[s], ic.grow_distance, ic.shrink_distance)
+        size_filter(seg, ic.min_size)
+    t_segment = time.perf_counter() - t0
+
+    total = t_predict + t_detect + t_segment
+    tiles_per_sec = n_tiles / total
+    log(
+        f"infer: {n_tiles} tiles in {total:.2f}s "
+        f"(predict {t_predict:.2f}s, detect {t_detect:.2f}s, "
+        f"segment {t_segment:.2f}s) -> {tiles_per_sec:.2f} tiles/s"
+    )
+
+    # ---- baseline: reference-style torch-CPU hot path --------------------
+    baseline_tps = None
+    if BASELINE_CACHE.exists():
+        baseline_tps = json.loads(BASELINE_CACHE.read_text()).get("tiles_per_sec")
+    if baseline_tps is None and os.environ.get("BENCH_SKIP_BASELINE") != "1":
+        log("measuring torch-CPU reference baseline (one-time)...")
+        baseline_tps = measure_torch_baseline(
+            spec, params, raw_all[0], embeddings_all[0], ic, n_tiles
+        )
+        BASELINE_CACHE.write_text(json.dumps({"tiles_per_sec": baseline_tps}))
+
+    vs_baseline = tiles_per_sec / baseline_tps if baseline_tps else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "2d_infer_tiles_per_sec_e2e",
+                "value": round(tiles_per_sec, 3),
+                "unit": "tiles/s (236^2 px output tiles; embed+meanshift+segment)",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+def measure_torch_baseline(spec, params, raw, embeddings, ic, n_tiles) -> float:
+    """Reference-style pipeline on torch CPU: serial TTA with host
+    round-trips per pass + sklearn MeanShift + scipy segment, one tile of
+    prediction extrapolated to the full tile count."""
+    import torch
+
+    from torch_reference import TorchOCEModel, copy_jax_params_to_torch
+
+    model = TorchOCEModel(
+        1, 2, spec.num_fmaps, spec.fmap_inc_factor,
+        spec.features_in_last_layer,
+        [list(f) for f in spec.downsampling_factors], 2,
+    )
+    copy_jax_params_to_torch(params, model)
+    model.eval()
+
+    tile = torch.from_numpy(
+        (raw[:, : ic.crop_size[0], : ic.crop_size[1]] / 255.0).astype(np.float32)
+    )[None]
+    t0 = time.perf_counter()
+    preds = []
+    with torch.no_grad():
+        for val in (0.5, 1.0):
+            for _ in range(ic.num_infer_iterations):
+                noisy = tile.detach().clone()
+                rnd = torch.rand(*noisy.shape)
+                noisy[rnd <= ic.p_salt_pepper] = val
+                preds.append(model(noisy)[0].cpu())
+    torch.stack(preds).std(dim=0)
+    t_tile = time.perf_counter() - t0
+
+    # sklearn mean-shift + scipy segment on the same embeddings
+    from sklearn.cluster import MeanShift
+
+    from cellulus_tpu.ops.mean_shift import add_coordinate_grid
+    from cellulus_tpu.ops.otsu import threshold_otsu
+    from cellulus_tpu.segment import remove_halo
+    from cellulus_tpu.ops.components import size_filter
+
+    emb = np.asarray(embeddings, np.float32)
+    t0 = time.perf_counter()
+    thr = threshold_otsu(emb[-1])
+    mask = emb[-1] < thr
+    absolute = add_coordinate_grid(emb[:-1])
+    X = absolute.reshape(2, -1).T[mask.ravel()]
+    rng = np.random.default_rng(0)
+    X_fit = X[rng.random(len(X)) < ic.reduction_probability]
+    ms = MeanShift(bandwidth=ic.bandwidth, cluster_all=False)
+    ms.fit(X_fit if len(X_fit) else X)
+    labels = ms.predict(X)
+    seg = np.full(mask.shape, -1, np.int32)
+    seg[mask] = labels
+    seg += 1
+    seg = remove_halo(seg.astype(np.uint16), ic.grow_distance, ic.shrink_distance)
+    size_filter(seg, ic.min_size)
+    t_cluster_sample = time.perf_counter() - t0
+
+    tiles_per_sample = n_tiles  # detect/segment run per sample; scale below
+    total = t_tile * n_tiles + t_cluster_sample * 1  # one sample measured
+    # normalize: we measured cluster time for ONE sample; the torch predict
+    # time dominates, so approximate total cluster time by one sample's
+    return n_tiles / (t_tile * n_tiles + t_cluster_sample)
+
+
+if __name__ == "__main__":
+    main()

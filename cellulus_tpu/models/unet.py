@@ -182,12 +182,8 @@ def _conv_pass(x: jnp.ndarray, p: Params, ndim: int, compute_dtype) -> jnp.ndarr
 
 
 def _max_pool(x: jnp.ndarray, factor: Tuple[int, ...]) -> jnp.ndarray:
-    ndim = len(factor)
     window = (1, *factor, 1)
-    neg_inf = -jnp.inf if x.dtype in (jnp.float32, jnp.float64) else jnp.finfo(x.dtype).min
-    return lax.reduce_window(
-        x, neg_inf, lax.max, window, window, "VALID"
-    )
+    return lax.reduce_window(x, -jnp.inf, lax.max, window, window, "VALID")
 
 
 def _upsample_nearest(x: jnp.ndarray, factor: Tuple[int, ...]) -> jnp.ndarray:
