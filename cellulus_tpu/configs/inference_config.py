@@ -44,6 +44,10 @@ class InferenceConfig:
         device: Accepted for reference compat; JAX picks the platform.
         tile_batch_size: Number of tiles predicted per device batch.
         mean_shift_max_iterations: Iteration cap of the on-device mean shift.
+        transfer_precision: dtype for device->host embedding transfers
+            ("float32" or "float16"); "float16" halves PCIe/host traffic at
+            ~1e-3 relative precision cost (embeddings are stored as float32
+            either way).
     """
 
     dataset_config: Optional[DatasetConfig] = None
@@ -69,6 +73,7 @@ class InferenceConfig:
     seed: int = 0
     tile_batch_size: int = 1
     mean_shift_max_iterations: int = 300
+    transfer_precision: str = "float32"
 
     def __post_init__(self) -> None:
         for name in (

@@ -41,6 +41,10 @@ class TrainConfig:
         seed: Base RNG seed for init + sampling.
         data_parallelism: Number of mesh data shards; ``None`` = all local
             devices.
+        device_pair_sampling: Sample anchor/reference pairs on device inside
+            the jitted step (same distribution as the host sampler, but no
+            per-step coordinate transfer). Disable for bit-exact parity with
+            the host sampling path.
     """
 
     train_data_config: Optional[DatasetConfig] = None
@@ -64,6 +68,7 @@ class TrainConfig:
     precision: str = "float32"
     seed: int = 0
     data_parallelism: Optional[int] = None
+    device_pair_sampling: bool = True
 
     def __post_init__(self) -> None:
         self.train_data_config = as_config(DatasetConfig, self.train_data_config)

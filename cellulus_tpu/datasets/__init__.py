@@ -18,6 +18,7 @@ def get_dataset(
     normalization_factor: Optional[float],
     output_shape: Optional[Tuple[int, ...]] = None,
     seed: int = 0,
+    sample_pairs: bool = True,
 ) -> ZarrDataset:
     """Reference-parity factory (reference ``datasets/__init__.py:8-27``)."""
     return ZarrDataset(
@@ -31,6 +32,7 @@ def get_dataset(
         normalization_factor=normalization_factor,
         output_shape=output_shape,
         seed=seed,
+        sample_pairs=sample_pairs,
     )
 
 

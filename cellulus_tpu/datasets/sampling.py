@@ -105,3 +105,41 @@ class PairSampler:
         idx = rng.integers(0, len(self._offsets), size=len(anchors))
         references = anchors + self._offsets[idx]
         return anchors, references
+
+    def device_sampler(self):
+        """Return a jit-able ``sample(key, batch) -> (anchors, references)``
+        drawing the pairs on device with ``jax.random``.
+
+        Same distribution as :meth:`sample`, but no host work and no
+        host->device coordinate transfer per step (the coordinates for a
+        252^2 crop are ~10 MB/batch — shipping an RNG key is 8 bytes).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        offsets = jnp.asarray(self._offsets)
+        k = int(self.kappa)
+        lows = jnp.asarray([k] * self.num_spatial_dims, jnp.int32)
+        highs = jnp.asarray(
+            [int(s) - k + 1 for s in self.output_shape], jnp.int32
+        )
+        n_anchors, n_refs = self.n_anchors, self.n_references
+        n_pairs = self.num_pairs
+
+        def sample(key, batch: int):
+            k_anchor, k_off = jax.random.split(key)
+            anchors = jax.random.randint(
+                k_anchor,
+                (batch, n_anchors, self.num_spatial_dims),
+                lows,
+                highs,
+                dtype=jnp.int32,
+            )
+            anchors = jnp.repeat(anchors, n_refs, axis=1)  # (B, n_pairs, D)
+            idx = jax.random.randint(
+                k_off, (batch, n_pairs), 0, len(self._offsets), dtype=jnp.int32
+            )
+            references = anchors + offsets[idx]
+            return anchors, references
+
+        return sample

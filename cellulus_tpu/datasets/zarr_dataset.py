@@ -61,6 +61,7 @@ class ZarrDataset:
         normalization_factor: Optional[float],
         output_shape: Optional[Tuple[int, ...]] = None,
         seed: int = 0,
+        sample_pairs: bool = True,
     ):
         self.dataset_config = dataset_config
         self.crop_size = tuple(int(c) for c in crop_size)
@@ -95,6 +96,7 @@ class ZarrDataset:
             output_shape=self.output_shape, density=density, kappa=kappa
         )
         self.seed = seed
+        self.sample_pairs = sample_pairs
         self._margin = (
             required_margin(self.crop_size, control_point_jitter)
             if self.elastic
@@ -161,8 +163,11 @@ class ZarrDataset:
             crop = self._sample_crop(rng)
             if np.max(crop) <= 0.0:  # reject empty crops
                 continue
-            anchors, references = self.sampler.sample(rng)
-            yield crop, anchors, references
+            if self.sample_pairs:
+                anchors, references = self.sampler.sample(rng)
+                yield crop, anchors, references
+            else:
+                yield (crop,)
 
     # convenience accessors (reference API parity)
     def get_num_channels(self) -> int:
@@ -213,17 +218,8 @@ class BatchLoader:
     def __iter__(self):
         self.start()
         while True:
-            crops, anchors, refs = [], [], []
-            for _ in range(self.batch_size):
-                c, a, r = self._queue.get()
-                crops.append(c)
-                anchors.append(a)
-                refs.append(r)
-            yield (
-                np.stack(crops),
-                np.stack(anchors),
-                np.stack(refs),
-            )
+            items = [self._queue.get() for _ in range(self.batch_size)]
+            yield tuple(np.stack(field) for field in zip(*items))
 
     def __enter__(self):
         self.start()

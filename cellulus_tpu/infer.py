@@ -77,3 +77,17 @@ def infer(experiment_config: ExperimentConfig):
     if inference_config.evaluation_dataset_config is not None:
         results = evaluate(inference_config)
     return results
+
+
+# Callable module: keeps `cellulus_tpu.infer(config)` working even after an
+# `import cellulus_tpu.infer` shadows the package-level wrapper (SURVEY.md
+# §3.5).
+import sys as _sys  # noqa: E402
+
+
+class _CallableModule(type(_sys.modules[__name__])):
+    def __call__(self, experiment_config):
+        return infer(experiment_config)
+
+
+_sys.modules[__name__].__class__ = _CallableModule

@@ -21,11 +21,54 @@ from __future__ import annotations
 import gzip as _gzip
 import json
 import os
+import threading
 import zlib as _zlib
+from collections import OrderedDict
 from pathlib import Path
 from typing import Any, Dict, Iterator, Optional, Sequence, Tuple, Union
 
 import numpy as np
+
+
+class _ChunkCache:
+    """Process-wide LRU cache of decompressed chunks, keyed by
+    (array path, chunk index). Training reads the same chunks thousands of
+    times; decompression would otherwise dominate the host data pipeline."""
+
+    def __init__(self, max_bytes: int = 1 << 29):  # 512 MiB
+        self.max_bytes = max_bytes
+        self._lock = threading.Lock()
+        self._data: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._bytes = 0
+
+    def get(self, key) -> Optional[np.ndarray]:
+        with self._lock:
+            arr = self._data.get(key)
+            if arr is not None:
+                self._data.move_to_end(key)
+            return arr
+
+    def put(self, key, arr: np.ndarray) -> None:
+        if arr.nbytes > self.max_bytes // 4:
+            return
+        with self._lock:
+            old = self._data.pop(key, None)
+            if old is not None:
+                self._bytes -= old.nbytes
+            self._data[key] = arr
+            self._bytes += arr.nbytes
+            while self._bytes > self.max_bytes and self._data:
+                _, evicted = self._data.popitem(last=False)
+                self._bytes -= evicted.nbytes
+
+    def invalidate(self, key) -> None:
+        with self._lock:
+            old = self._data.pop(key, None)
+            if old is not None:
+                self._bytes -= old.nbytes
+
+
+_chunk_cache = _ChunkCache()
 
 _ARRAY_META = ".zarray"
 _GROUP_META = ".zgroup"
@@ -200,13 +243,22 @@ class Array:
         return self.path / self._sep.join(str(i) for i in cidx)
 
     def _read_chunk(self, cidx: Tuple[int, ...]) -> np.ndarray:
+        key = (str(self.path), cidx)
+        cached = _chunk_cache.get(key)
+        if cached is not None:
+            return cached
         p = self._chunk_path(cidx)
         if not p.exists():
-            return np.full(self.chunks, self.fill_value, dtype=self.dtype)
-        raw = _decompress(p.read_bytes(), self.compressor)
-        return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks).copy()
+            chunk = np.full(self.chunks, self.fill_value, dtype=self.dtype)
+        else:
+            raw = _decompress(p.read_bytes(), self.compressor)
+            chunk = np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks)
+        chunk.flags.writeable = False  # cached copies are shared, keep immutable
+        _chunk_cache.put(key, chunk)
+        return chunk
 
     def _write_chunk(self, cidx: Tuple[int, ...], data: np.ndarray) -> None:
+        _chunk_cache.invalidate((str(self.path), cidx))
         buf = _compress(np.ascontiguousarray(data, dtype=self.dtype).tobytes(), self.compressor)
         p = self._chunk_path(cidx)
         tmp = p.with_name(p.name + f".tmp{os.getpid()}")
@@ -315,7 +367,7 @@ class Array:
             if full_chunk:
                 chunk = np.empty(self.chunks, dtype=self.dtype)
             else:
-                chunk = self._read_chunk(cidx)
+                chunk = self._read_chunk(cidx).copy()  # cached chunks are immutable
             chunk[tuple(dst_sel)] = value[tuple(src_sel)]
             self._write_chunk(cidx, chunk)
 

@@ -161,6 +161,9 @@ def _dimension_numbers(ndim: int) -> lax.ConvDimensionNumbers:
 
 
 def _conv(x: jnp.ndarray, p: Params, ndim: int, compute_dtype) -> jnp.ndarray:
+    # bf16 inputs/weights hit the MXU with f32 accumulation (XLA default);
+    # an explicit preferred_element_type=f32 would break the transpose rule
+    # under jax.grad (cotangent/weight dtype mismatch)
     w = p["w"].astype(compute_dtype)
     out = lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -168,10 +171,8 @@ def _conv(x: jnp.ndarray, p: Params, ndim: int, compute_dtype) -> jnp.ndarray:
         window_strides=(1,) * ndim,
         padding="VALID",
         dimension_numbers=_dimension_numbers(ndim),
-        preferred_element_type=jnp.float32,
     )
-    out = out + p["b"].astype(jnp.float32)
-    return out.astype(compute_dtype)
+    return out + p["b"].astype(compute_dtype)
 
 
 def _conv_pass(x: jnp.ndarray, p: Params, ndim: int, compute_dtype) -> jnp.ndarray:

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import itertools
-from functools import partial
+from functools import lru_cache
 from typing import List, Tuple
 
 import jax
@@ -29,6 +29,33 @@ from .configs import InferenceConfig
 from .io import DatasetMetaData, zarr
 from .models import UNetSpec, compute_geometry, tta_embeddings
 from .datasets import normalization_factor_for
+
+
+@lru_cache(maxsize=None)
+def _batched_tta(
+    spec: UNetSpec,
+    p_salt_pepper: float,
+    num_infer_iterations: int,
+    compute_dtype,
+    transfer_dtype=jnp.float32,
+):
+    """Jitted (and cached across samples) batched-TTA tile function."""
+
+    def run(params, tiles, keys):
+        def one(tile, key):
+            return tta_embeddings(
+                spec,
+                params,
+                tile,
+                key,
+                p_salt_pepper,
+                num_infer_iterations,
+                compute_dtype,
+            )
+
+        return jax.vmap(one)(tiles, keys).astype(transfer_dtype)
+
+    return jax.jit(run)
 
 
 def tile_origins(extent: int, tile: int) -> List[int]:
@@ -50,6 +77,7 @@ def predict_sample(
     sample_seed: int = 0,
     compute_dtype=jnp.float32,
     write_fn=None,
+    mesh=None,
 ) -> np.ndarray:
     """Predict TTA embeddings for one full sample.
 
@@ -58,6 +86,9 @@ def predict_sample(
         write_fn: optional callback ``(tile_np (D+1, *tile), origin)`` for
             streaming writeback; when None, a full array is assembled and
             returned.
+        mesh: optional device mesh; the tile batch shards over its ``data``
+            axis (tiles are independent — multi-chip inference needs no
+            inter-chip communication, SURVEY.md §2).
 
     Returns:
         ``(D+1, *spatial)`` embeddings (when ``write_fn`` is None).
@@ -86,21 +117,40 @@ def predict_sample(
     tb = max(1, int(inference_config.tile_batch_size))
     in_tile = tuple(o + 2 * c for o, c in zip(out_tile, context))
 
-    @partial(jax.jit, static_argnames=())
-    def run_batch(tiles, keys):
-        # tiles: (T, *in_tile, C) channels-last
-        def one(tile, key):
-            return tta_embeddings(
-                spec,
+    transfer_dtype = (
+        jnp.float16
+        if getattr(inference_config, "transfer_precision", "float32") == "float16"
+        else jnp.float32
+    )
+    tta_fn = _batched_tta(
+        spec,
+        float(inference_config.p_salt_pepper),
+        int(inference_config.num_infer_iterations),
+        compute_dtype,
+        transfer_dtype,
+    )
+
+    if mesh is not None:
+        from .parallel import batch_sharding, replicated_sharding
+
+        n_shards = mesh.devices.size
+        if tb % n_shards:
+            tb = max(n_shards, tb - tb % n_shards)
+        tile_sh = batch_sharding(mesh)
+        params = jax.device_put(params, replicated_sharding(mesh))
+
+        def run_batch(tiles, keys):
+            return tta_fn(
                 params,
-                tile,
-                key,
-                inference_config.p_salt_pepper,
-                inference_config.num_infer_iterations,
-                compute_dtype,
+                jax.device_put(tiles, tile_sh),
+                jax.device_put(keys, tile_sh),
             )
 
-        return jax.vmap(one)(tiles, keys)
+    else:
+
+        def run_batch(tiles, keys):
+            # tiles: (T, *in_tile, C) channels-last
+            return tta_fn(params, tiles, keys)
 
     result = (
         None
@@ -209,6 +259,12 @@ def predict(
     raw_container = zarr.open(dataset_config.container_path, "r")
     raw_ds = raw_container[dataset_config.dataset_name]
 
+    mesh = None
+    if len(jax.devices()) > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+
     with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
         futures = []
 
@@ -230,6 +286,7 @@ def predict(
                 sample_seed=sample,
                 compute_dtype=compute_dtype,
                 write_fn=write_fn,
+                mesh=mesh,
             )
         for fut in futures:
             fut.result()

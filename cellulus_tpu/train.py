@@ -82,6 +82,46 @@ def make_train_step(
     return step
 
 
+def make_train_step_fused(
+    spec: UNetSpec,
+    optimizer,
+    temperature: float,
+    regularizer_weight: float,
+    pair_sampler,
+    batch_size: int,
+    compute_dtype=jnp.float32,
+):
+    """Train step with ON-DEVICE pair sampling fused into the jit region.
+
+    The host ships only the raw crop batch and an RNG key; anchor/reference
+    coordinates (~10 MB/step for default configs) are drawn on device with
+    ``jax.random`` from the same distribution as the host sampler
+    (:meth:`PairSampler.device_sampler`).
+    """
+    sample = pair_sampler.device_sampler()
+
+    def step(params, opt_state, raw, key):
+        anchors, references = sample(key, batch_size)
+
+        def loss_fn(p):
+            offsets = forward(spec, p, raw, compute_dtype)
+            e_anchor = select_and_add_coordinates(offsets, anchors)
+            e_reference = select_and_add_coordinates(offsets, references)
+            loss, oce, reg = oce_loss(
+                e_anchor, e_reference, temperature, regularizer_weight
+            )
+            return loss, (oce, reg, offsets)
+
+        (loss, (oce, reg, offsets)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, oce, offsets
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # state (de)serialization helpers
 # ---------------------------------------------------------------------------
@@ -205,6 +245,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         normalization_factor=experiment_config.normalization_factor,
         output_shape=geometry.output_size,
         seed=train_config.seed,
+        sample_pairs=not train_config.device_pair_sampling,
     )
 
     spec = spec_from_config(
@@ -252,14 +293,26 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     params = jax.device_put(params, rep_sh)
     opt_state = jax.device_put(opt_state, rep_sh)
 
-    step = make_train_step(
-        spec,
-        optimizer,
-        train_config.temperature,
-        train_config.regularizer_weight,
-        compute_dtype,
-    )
+    if train_config.device_pair_sampling:
+        step = make_train_step_fused(
+            spec,
+            optimizer,
+            train_config.temperature,
+            train_config.regularizer_weight,
+            dataset.sampler,
+            train_config.batch_size,
+            compute_dtype,
+        )
+    else:
+        step = make_train_step(
+            spec,
+            optimizer,
+            train_config.temperature,
+            train_config.regularizer_weight,
+            compute_dtype,
+        )
     step = jax.jit(step, donate_argnums=(0, 1))
+    base_key = jax.random.PRNGKey(train_config.seed + 17)
 
     loader = BatchLoader(
         dataset, train_config.batch_size, num_workers=train_config.num_workers
@@ -268,28 +321,52 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     epoch_loss = 0.0
     num_iterations = 0
     iteration = start_iteration - 1
+    pending = None  # (iteration, loss, oce) device arrays: 1-step-lagged
+    #  metric fetch so the host never blocks on the in-flight step
+
+    def consume(pending_entry):
+        nonlocal epoch_loss, num_iterations
+        it, loss_dev, oce_dev = pending_entry
+        loss_f = float(loss_dev)
+        oce_f = float(oce_dev)
+        print(f"===> iteration: {it}, loss: {loss_f:.6f}, oce loss: {oce_f:.6f}")
+        logger.add("loss", loss_f)
+        logger.add("oce_loss", oce_f)
+        logger.step()
+        epoch_loss += loss_f
+        num_iterations += 1
+
     with loader:
         batches = iter(loader)
         for iteration in range(start_iteration, train_config.max_iterations):
-            raw_np, anchors_np, refs_np = next(batches)
+            batch = next(batches)
             # channels-last for the device
+            raw_np = batch[0]
             raw = jax.device_put(np.moveaxis(raw_np, 1, -1), data_sh)
-            anchors = jax.device_put(anchors_np, data_sh)
-            references = jax.device_put(refs_np, data_sh)
 
-            params, opt_state, loss, oce, offsets = step(
-                params, opt_state, raw, anchors, references
+            if train_config.device_pair_sampling:
+                params, opt_state, loss, oce, offsets = step(
+                    params, opt_state, raw, jax.random.fold_in(base_key, iteration)
+                )
+            else:
+                anchors = jax.device_put(batch[1], data_sh)
+                references = jax.device_put(batch[2], data_sh)
+                params, opt_state, loss, oce, offsets = step(
+                    params, opt_state, raw, anchors, references
+                )
+
+            if pending is not None:
+                consume(pending)
+            pending = (iteration, loss, oce)
+            is_cadence = (
+                iteration % train_config.save_best_model_every == 0
+                or iteration % train_config.save_model_every == 0
+                or iteration % train_config.save_snapshot_every == 0
+                or iteration == train_config.max_iterations - 1
             )
-
-            loss_f = float(loss)
-            oce_f = float(oce)
-            print(f"===> iteration: {iteration}, loss: {loss_f:.6f}, oce loss: {oce_f:.6f}")
-            logger.add("loss", loss_f)
-            logger.add("oce_loss", oce_f)
-            logger.step()
-
-            epoch_loss += loss_f
-            num_iterations += 1
+            if is_cadence:
+                consume(pending)
+                pending = None
             if iteration % train_config.save_best_model_every == 0:
                 mean_loss = epoch_loss / num_iterations
                 if mean_loss < lowest_loss:
@@ -322,3 +399,19 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
 
     logger.close()
     return pack_state(iteration, lowest_loss, params, opt_state, logger.data)
+
+
+# Make the module itself callable: after `import cellulus_tpu.train`, the
+# package attribute `cellulus_tpu.train` is this module object (shadowing the
+# package-level wrapper — the reference suffers the same trap, SURVEY.md
+# §3.5). A callable module keeps `cellulus_tpu.train(config)` working either
+# way.
+import sys as _sys  # noqa: E402
+
+
+class _CallableModule(type(_sys.modules[__name__])):
+    def __call__(self, experiment_config):
+        return train(experiment_config)
+
+
+_sys.modules[__name__].__class__ = _CallableModule

@@ -1,0 +1,67 @@
+"""Detect-stage variants: seeds, multiple bandwidths, fixed threshold."""
+
+import numpy as np
+
+from cellulus_tpu.configs import InferenceConfig
+from cellulus_tpu.detect import detect_sample, mean_center_embeddings
+
+
+def _synthetic_embeddings(h=48, w=48, centers=((12, 12), (34, 34)), r=6):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    emb = np.zeros((3, h, w), np.float32)
+    emb[2] = 1.0
+    for cy, cx in centers:
+        mask = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+        emb[0][mask] = cx - xx[mask]
+        emb[1][mask] = cy - yy[mask]
+        emb[2][mask] = 0.05
+    return emb
+
+
+def test_detect_sample_multiple_bandwidths():
+    emb = _synthetic_embeddings()
+    ic = InferenceConfig(
+        bandwidth=8.0, num_bandwidths=2, min_size=0, reduction_probability=1.0
+    )
+    thr, mask, centered, det = detect_sample(emb, ic, 2, np.random.default_rng(0))
+    assert det.shape == (2, 48, 48)
+    for k in range(2):
+        ids = np.unique(det[k])
+        assert len(ids[ids > 0]) == 2
+
+
+def test_detect_sample_fixed_threshold():
+    emb = _synthetic_embeddings()
+    ic = InferenceConfig(
+        bandwidth=8.0, threshold=0.5, min_size=0, reduction_probability=1.0
+    )
+    thr, mask, _, det = detect_sample(emb, ic, 2, np.random.default_rng(0))
+    assert thr == 0.5
+    assert mask.sum() == (emb[2] < 0.5).sum()
+
+
+def test_detect_sample_with_seeds():
+    emb = _synthetic_embeddings()
+    ic = InferenceConfig(
+        bandwidth=8.0,
+        use_seeds=True,
+        min_size=0,
+        reduction_probability=1.0,
+    )
+    thr, mask, centered, det = detect_sample(emb, ic, 2, np.random.default_rng(0))
+    ids = np.unique(det[0])
+    assert len(ids[ids > 0]) >= 2
+
+
+def test_mean_center_excludes_exact_zeros():
+    # reference quirk: masked mean excludes exact-zero values (detect.py:97-118)
+    emb = np.zeros((3, 4, 4), np.float32)
+    emb[0, 0, 0] = 2.0
+    emb[0, 0, 1] = 4.0
+    mask = np.ones((4, 4), bool)
+    centered = mean_center_embeddings(emb, mask)
+    # mean over {2, 4} = 3 (zeros excluded), subtracted everywhere
+    np.testing.assert_allclose(centered[0, 0, 0], -1.0)
+    np.testing.assert_allclose(centered[0, 2, 2], -3.0)
+    # uncertainty channel untouched
+    np.testing.assert_allclose(centered[2], emb[2])
