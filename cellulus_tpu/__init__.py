@@ -15,9 +15,38 @@ SURVEY.md §3.5):
 """
 
 import importlib
+import os
 import sys
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first compiles of the U-Net /
+    mean-shift kernels take tens of seconds on TPU; caching them on disk
+    makes every later process start warm. Called by the train/infer entry
+    points on TPU platforms only (CPU AOT results are machine-feature
+    sensitive and can SIGILL when reloaded). Opt out with
+    CELLULUS_TPU_NO_COMPILE_CACHE=1."""
+    if os.environ.get("CELLULUS_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return
+        if jax.config.jax_compilation_cache_dir is None:
+            cache_dir = os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.join(
+                    os.path.expanduser("~"), ".cache", "cellulus_tpu", "jax"
+                ),
+            )
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 def _train(experiment_config):

@@ -25,6 +25,9 @@ from .utils.checkpoint import load_checkpoint
 
 
 def infer(experiment_config: ExperimentConfig):
+    import cellulus_tpu
+
+    cellulus_tpu.enable_compilation_cache()
     print(experiment_config)
 
     inference_config = experiment_config.inference_config
@@ -65,17 +68,25 @@ def infer(experiment_config: ExperimentConfig):
     state = load_checkpoint(model_config.checkpoint)
     params = coerce_params_like(state["params"], params)
 
+    from .utils.profiling import maybe_trace, stage_timer
+
     results = None
-    if inference_config.prediction_dataset_config is not None:
-        predict(
-            spec, params, inference_config, normalization_factor, compute_dtype
-        )
-    if inference_config.detection_dataset_config is not None:
-        detect(inference_config)
-    if inference_config.segmentation_dataset_config is not None:
-        segment(inference_config)
-    if inference_config.evaluation_dataset_config is not None:
-        results = evaluate(inference_config)
+    with maybe_trace():
+        if inference_config.prediction_dataset_config is not None:
+            with stage_timer("predict", items=meta.num_samples, unit="samples"):
+                predict(
+                    spec, params, inference_config, normalization_factor,
+                    compute_dtype,
+                )
+        if inference_config.detection_dataset_config is not None:
+            with stage_timer("detect", items=meta.num_samples, unit="samples"):
+                detect(inference_config)
+        if inference_config.segmentation_dataset_config is not None:
+            with stage_timer("segment", items=meta.num_samples, unit="samples"):
+                segment(inference_config)
+        if inference_config.evaluation_dataset_config is not None:
+            with stage_timer("evaluate", items=meta.num_samples, unit="samples"):
+                results = evaluate(inference_config)
     return results
 
 

@@ -177,11 +177,19 @@ def _default_chunks(shape: Tuple[int, ...], dtype: np.dtype) -> Tuple[int, ...]:
     return tuple(int(c) for c in chunks)
 
 
+_TMP_COUNTER = __import__("itertools").count()
+
+
 class Array:
-    """A zarr v2 array in a directory store."""
+    """A zarr v2 array in a directory store.
+
+    Concurrency: chunk writes are protected by a per-array lock (tile
+    writebacks from multiple threads may read-modify-write the same chunk
+    when output tiles overlap at the image boundary)."""
 
     def __init__(self, path: Path):
         self.path = Path(path)
+        self._write_lock = threading.Lock()
         meta = json.loads((self.path / _ARRAY_META).read_text())
         if meta.get("zarr_format") != 2:
             raise ValueError(f"{path}: unsupported zarr format {meta.get('zarr_format')}")
@@ -261,7 +269,9 @@ class Array:
         _chunk_cache.invalidate((str(self.path), cidx))
         buf = _compress(np.ascontiguousarray(data, dtype=self.dtype).tobytes(), self.compressor)
         p = self._chunk_path(cidx)
-        tmp = p.with_name(p.name + f".tmp{os.getpid()}")
+        tmp = p.with_name(
+            p.name + f".tmp{os.getpid()}.{threading.get_ident()}.{next(_TMP_COUNTER)}"
+        )
         tmp.write_bytes(buf)
         os.replace(tmp, p)
 
@@ -342,6 +352,10 @@ class Array:
         return out
 
     def __setitem__(self, key: Any, value: Any) -> None:
+        with self._write_lock:
+            self._setitem_locked(key, value)
+
+    def _setitem_locked(self, key: Any, value: Any) -> None:
         slices, squeeze = self._normalize_index(key)
         sel_shape = tuple(s.stop - s.start for s in slices)
         value = np.asarray(value, dtype=self.dtype)

@@ -28,10 +28,19 @@ def remove_halo(
     segmentation: np.ndarray, grow_distance: float, shrink_distance: float
 ) -> np.ndarray:
     """Grow-then-shrink halo removal ("cell" mode, reference
-    ``segment.py:41-51``)."""
+    ``segment.py:41-51``).
+
+    Degenerate cases where an EDT input has no zeros (all-background or
+    fully-expanded images) are given defined semantics — distance = inf —
+    instead of scipy's undefined feature-transform output.
+    """
     segmentation = np.array(segmentation, copy=True)
+    if (segmentation == 0).all():
+        return segmentation
     distance_foreground = dtedt(segmentation == 0)
     expanded_mask = distance_foreground < grow_distance
+    if expanded_mask.all():
+        return segmentation  # no background anywhere: nothing to shrink from
     distance_background = dtedt(expanded_mask)
     segmentation[distance_background < shrink_distance] = 0
     return segmentation

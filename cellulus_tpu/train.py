@@ -225,6 +225,9 @@ def save_snapshot(raw_b, prediction_b, iteration: int, path="snapshots.zarr") ->
 
 def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     """Run training as configured. Returns the final state dict."""
+    import cellulus_tpu
+
+    cellulus_tpu.enable_compilation_cache()
     print(experiment_config)
 
     train_config = experiment_config.train_config

@@ -1,0 +1,119 @@
+"""Quality validation: train on synthetic blobs to convergence and verify
+the full pipeline produces accurate instance segmentations (F1/SEG).
+
+This is the framework's end-to-end correctness proof on a task with known
+ground truth — analogous to the reference's 2D demo (BASELINE.md: 5000
+iters, ~20 min on M2 Max). Prints per-stage [perf] lines and final metrics.
+
+Usage: python scripts/validate_quality.py [--iters N] [--size S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--samples", type=int, default=2)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    import cellulus_tpu
+    from cellulus_tpu.configs import ExperimentConfig
+    from cellulus_tpu.io import zarr
+    from synthetic import make_blob_container
+
+    work = Path(args.workdir or tempfile.mkdtemp(prefix="cellulus_val_"))
+    work.mkdir(parents=True, exist_ok=True)
+    os.chdir(work)
+    container = work / "data.zarr"
+    if not (container / "train").exists():
+        make_blob_container(
+            container, num_samples=args.samples, size=args.size, ndim=2, seed=11
+        )
+
+    object_size = int(args.size * 0.13)
+    config = ExperimentConfig(
+        **{
+            "experiment_name": "quality-validation",
+            "object_size": object_size,
+            "model_config": {"num_fmaps": 64, "fmap_inc_factor": 3},
+            "train_config": {
+                "batch_size": 8,
+                "crop_size": [252, 252],
+                "max_iterations": args.iters,
+                "initial_learning_rate": 4e-4,
+                "num_workers": 4,
+                "elastic_deform": True,
+                "precision": "bfloat16",
+                "save_model_every": max(500, args.iters // 2),
+                "save_snapshot_every": 10**9,
+                "save_best_model_every": 100,
+                "train_data_config": {
+                    "container_path": str(container),
+                    "dataset_name": "train",
+                },
+            },
+            "inference_config": {
+                "crop_size": [252, 252],
+                "tile_batch_size": 4,
+                "transfer_precision": "float16",
+                "dataset_config": {
+                    "container_path": str(container),
+                    "dataset_name": "train",
+                },
+                "prediction_dataset_config": {
+                    "container_path": str(work / "out.zarr"),
+                    "dataset_name": "embeddings",
+                },
+                "detection_dataset_config": {
+                    "container_path": str(work / "out.zarr"),
+                    "dataset_name": "detection",
+                    "secondary_dataset_name": "embeddings",
+                },
+                "segmentation_dataset_config": {
+                    "container_path": str(work / "out.zarr"),
+                    "dataset_name": "segmentation",
+                    "secondary_dataset_name": "detection",
+                },
+                "evaluation_dataset_config": {
+                    "container_path": str(work / "out.zarr"),
+                    "dataset_name": "groundtruth",
+                    "secondary_dataset_name": "segmentation",
+                },
+            },
+        }
+    )
+
+    cellulus_tpu.train(config)
+
+    # stage ground truth next to outputs for evaluation
+    src = zarr.open(container, "r")
+    out = zarr.open(work / "out.zarr", "a")
+    out["groundtruth"] = np.asarray(src["groundtruth"][...])
+    out["groundtruth"].attrs.update(src["groundtruth"].attrs.asdict())
+
+    config.model_config.checkpoint = work / "models" / "best_loss.ckpt"
+    results = cellulus_tpu.infer(config)
+    print("RESULTS:", results)
+    f1 = results[0]["F1"]
+    seg = results[0]["SEG"]
+    print(f"F1={f1:.3f} SEG={seg:.3f} (workdir: {work})")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Device morphology must match the scipy EDT-threshold formulation exactly."""
+
+import numpy as np
+import pytest
+
+from cellulus_tpu.ops.morphology import disk_kernel, remove_halo_device
+from cellulus_tpu.segment import remove_halo
+
+
+def test_disk_kernel_small():
+    k = disk_kernel(2.0, 2)
+    # radius-2 disk: norms {0,1,sqrt(2)} inside, 2 excluded (strict <)
+    assert k.shape == (3, 3)
+    assert k.sum() == 9  # all of the 3x3 block has norm < 2
+
+
+@pytest.mark.parametrize("grow,shrink", [(3, 6), (2, 2), (1, 4)])
+def test_remove_halo_matches_scipy(grow, shrink):
+    rng = np.random.default_rng(0)
+    seg = np.zeros((64, 64), np.uint16)
+    # several labeled rectangles with small gaps
+    seg[5:25, 5:20] = 1
+    seg[5:25, 23:38] = 2
+    seg[30:60, 10:40] = 3
+    seg[40:50, 45:60] = 4
+    ref = remove_halo(seg, grow, shrink)
+    dev = remove_halo_device(seg, grow, shrink)
+    np.testing.assert_array_equal(ref, dev)
+
+
+def test_remove_halo_matches_scipy_3d():
+    seg = np.zeros((20, 20, 20), np.uint16)
+    seg[3:10, 3:10, 3:10] = 1
+    seg[12:18, 12:18, 3:12] = 2
+    ref = remove_halo(seg, 3, 6)
+    dev = remove_halo_device(seg, 3, 6)
+    np.testing.assert_array_equal(ref, dev)
+
+
+def test_remove_halo_random_blobs():
+    rng = np.random.default_rng(1)
+    seg = (rng.random((48, 48)) > 0.7).astype(np.uint16)
+    from scipy import ndimage as ndi
+
+    labeled, _ = ndi.label(seg)
+    ref = remove_halo(labeled.astype(np.uint16), 3, 6)
+    dev = remove_halo_device(labeled.astype(np.uint16), 3, 6)
+    np.testing.assert_array_equal(ref, dev)
