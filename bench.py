@@ -57,7 +57,7 @@ def main():
     from cellulus_tpu.io import zarr
     from cellulus_tpu.models import compute_geometry, init_params, spec_from_config
     from cellulus_tpu.predict import predict_sample
-    from cellulus_tpu.segment import remove_halo
+    from cellulus_tpu.ops.morphology import remove_halo_device
     from cellulus_tpu.ops.components import size_filter
     from cellulus_tpu.train import make_optimizer, make_train_step_fused
     from cellulus_tpu.datasets import BatchLoader, get_dataset
@@ -195,9 +195,11 @@ def main():
         detections.append(det[0])
     t_detect = time.perf_counter() - t0
 
+    # warm the morphology kernel, then time
+    remove_halo_device(detections[0], ic.grow_distance, ic.shrink_distance)
     t0 = time.perf_counter()
     for s in range(NUM_SAMPLES):
-        seg = remove_halo(detections[s], ic.grow_distance, ic.shrink_distance)
+        seg = remove_halo_device(detections[s], ic.grow_distance, ic.shrink_distance)
         size_filter(seg, ic.min_size)
     t_segment = time.perf_counter() - t0
 

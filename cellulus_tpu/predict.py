@@ -27,6 +27,7 @@ import numpy as np
 
 from .configs import InferenceConfig
 from .io import DatasetMetaData, zarr
+from .io.regions import read_reflect_region
 from .models import UNetSpec, compute_geometry, tta_embeddings
 from .datasets import normalization_factor_for
 
@@ -78,17 +79,25 @@ def predict_sample(
     compute_dtype=jnp.float32,
     write_fn=None,
     mesh=None,
+    source=None,
+    spatial=None,
 ) -> np.ndarray:
     """Predict TTA embeddings for one full sample.
 
     Args:
-        raw: ``(C, *spatial)`` un-normalized raw data.
+        raw: ``(C, *spatial)`` un-normalized raw data; may be None when a
+            ``source`` is given instead (streaming mode: tiles are read on
+            demand, the full volume is never held in host memory).
         write_fn: optional callback ``(tile_np (D+1, *tile), origin)`` for
             streaming writeback; when None, a full array is assembled and
             returned.
         mesh: optional device mesh; the tile batch shards over its ``data``
             axis (tiles are independent — multi-chip inference needs no
             inter-chip communication, SURVEY.md §2).
+        source: optional ``source(origin, size) -> (C, *size)`` normalized
+            tile reader with reflect boundary handling (see
+            :func:`cellulus_tpu.io.regions.read_reflect_region`).
+        spatial: spatial extent; required with ``source``.
 
     Returns:
         ``(D+1, *spatial)`` embeddings (when ``write_fn`` is None).
@@ -98,20 +107,34 @@ def predict_sample(
     out_tile = geometry.output_size
     context = geometry.context
 
-    spatial = raw.shape[1:]
+    if source is None:
+        raw = np.asarray(raw)
+        spatial = raw.shape[1:]
+        nf = float(normalization_factor)
+
+        def source(origin, size, _raw=raw, _nf=nf):
+            return (
+                read_reflect_region(
+                    lambda lo, hi: _raw[
+                        (slice(None),) + tuple(slice(*b) for b in zip(lo, hi))
+                    ],
+                    _raw.shape[1:],
+                    origin,
+                    size,
+                )
+                * _nf
+            )
+
+    spatial = tuple(int(s) for s in spatial)
     ndim = len(spatial)
     D = spec.out_channels
 
-    # pad so that (a) every dim fits at least one output tile and (b) the
-    # context halo is available at the borders
-    eff = tuple(max(s, o) for s, o in zip(spatial, out_tile))
-    pad = [(0, 0)] + [
-        (c, c + (e - s)) for s, e, c in zip(spatial, eff, context)
-    ]
-    padded = np.pad(raw.astype(np.float32) * normalization_factor, pad, mode="reflect")
-
+    # cover the image with output tiles; a too-small image still gets one
+    # tile (reads reflect past the boundary)
     origins = list(
-        itertools.product(*[tile_origins(e, o) for e, o in zip(eff, out_tile)])
+        itertools.product(
+            *[tile_origins(max(s, o), o) for s, o in zip(spatial, out_tile)]
+        )
     )
 
     tb = max(1, int(inference_config.tile_batch_size))
@@ -180,12 +203,9 @@ def predict_sample(
         tiles = np.stack(
             [
                 np.moveaxis(
-                    padded[
-                        (slice(None),)
-                        + tuple(
-                            slice(o, o + it) for o, it in zip(orig, in_tile)
-                        )
-                    ],
+                    source(
+                        tuple(o - c for o, c in zip(orig, context)), in_tile
+                    ),
                     0,
                     -1,
                 )
@@ -269,7 +289,21 @@ def predict(
         futures = []
 
         for sample in range(meta.num_samples):
-            raw = np.asarray(raw_ds[sample], dtype=np.float32)
+            # streaming: tiles (plus context halo) read on demand from zarr;
+            # the full sample is never materialized on host
+            def source(origin, size, sample=sample):
+                return (
+                    read_reflect_region(
+                        lambda lo, hi: raw_ds[
+                            (sample, slice(None))
+                            + tuple(slice(*b) for b in zip(lo, hi))
+                        ],
+                        meta.spatial_array,
+                        origin,
+                        size,
+                    )
+                    * normalization_factor
+                )
 
             def write_fn(tile_np, origin, sample=sample):
                 sel = (sample, slice(None)) + tuple(
@@ -280,13 +314,15 @@ def predict(
             predict_sample(
                 spec,
                 params,
-                raw,
+                None,
                 inference_config,
                 normalization_factor,
                 sample_seed=sample,
                 compute_dtype=compute_dtype,
                 write_fn=write_fn,
                 mesh=mesh,
+                source=source,
+                spatial=meta.spatial_array,
             )
         for fut in futures:
             fut.result()

@@ -98,10 +98,12 @@ def segment(inference_config: InferenceConfig) -> None:
     )
 
     if inference_config.post_processing == "cell":
+        from .ops.morphology import remove_halo_device
+
         for sample in range(meta.num_samples):
             for k in range(inference_config.num_bandwidths):
                 seg = np.asarray(ds_in[sample, k])
-                seg = remove_halo(
+                seg = remove_halo_device(
                     seg,
                     inference_config.grow_distance,
                     inference_config.shrink_distance,
