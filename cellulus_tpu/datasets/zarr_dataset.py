@@ -110,20 +110,16 @@ class ZarrDataset:
     ) -> np.ndarray:
         """Read ``(C, *size)`` starting at ``origin`` (spatial), reflecting
         at the dataset boundary where the region sticks out."""
-        spatial = self.meta.spatial_array
-        lo = [max(0, o) for o in origin]
-        hi = [min(sp, o + s) for o, s, sp in zip(origin, size, spatial)]
-        sel = (sample, slice(None)) + tuple(
-            slice(lo_d, hi_d) for lo_d, hi_d in zip(lo, hi)
+        from ..io.regions import read_reflect_region
+
+        return read_reflect_region(
+            lambda lo, hi: self.array[
+                (sample, slice(None)) + tuple(slice(*b) for b in zip(lo, hi))
+            ],
+            self.meta.spatial_array,
+            origin,
+            size,
         )
-        data = np.asarray(self.array[sel], dtype=np.float32)
-        pad = [(0, 0)] + [
-            (lo_d - o, (o + s) - hi_d)
-            for o, s, lo_d, hi_d in zip(origin, size, lo, hi)
-        ]
-        if any(p != (0, 0) for p in pad):
-            data = np.pad(data, pad, mode="reflect")
-        return data
 
     def _sample_crop(self, rng: np.random.Generator) -> np.ndarray:
         sample = int(rng.integers(0, self.num_samples))
