@@ -264,7 +264,10 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     optimizer = make_optimizer(train_config.initial_learning_rate)
     opt_state = optimizer.init(params)
 
-    logger = get_logger(keys=["loss", "oce_loss"], title="loss")
+    logger_keys = ["loss", "oce_loss"]
+    if train_config.validate_data_config is not None:
+        logger_keys.append("val_loss")
+    logger = get_logger(keys=logger_keys, title="loss")
 
     start_iteration = 0
     lowest_loss = 1e6
@@ -296,6 +299,40 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     params = jax.device_put(params, rep_sh)
     opt_state = jax.device_put(opt_state, rep_sh)
 
+    # validation: the reference accepts validate_data_config but never uses
+    # it (reference train.py never touches it); here a validation loss is
+    # computed at the best-model cadence and logged alongside train loss
+    val_batches = None
+    if train_config.validate_data_config is not None:
+        try:
+            val_dataset = get_dataset(
+                dataset_config=train_config.validate_data_config,
+                crop_size=crop_size,
+                elastic_deform=False,
+                control_point_spacing=train_config.control_point_spacing,
+                control_point_jitter=train_config.control_point_jitter,
+                density=train_config.density,
+                kappa=train_config.kappa,
+                normalization_factor=experiment_config.normalization_factor,
+                output_shape=geometry.output_size,
+                seed=train_config.seed + 999,
+            )
+            val_iter = val_dataset.iterate(train_config.seed + 999)
+            val_batches = []
+            for _ in range(2):  # small fixed validation set
+                crops, ancs, refs = [], [], []
+                for _ in range(train_config.batch_size):
+                    c, a, r = next(val_iter)
+                    crops.append(c)
+                    ancs.append(a)
+                    refs.append(r)
+                val_batches.append(
+                    (np.stack(crops), np.stack(ancs), np.stack(refs))
+                )
+        except Exception as e:  # validation is best-effort
+            print(f"validation disabled: {e}")
+            val_batches = None
+
     if train_config.device_pair_sampling:
         step = make_train_step_fused(
             spec,
@@ -316,6 +353,28 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         )
     step = jax.jit(step, donate_argnums=(0, 1))
     base_key = jax.random.PRNGKey(train_config.seed + 17)
+
+    @jax.jit
+    def eval_loss_fn(params, raw, anchors, references):
+        offsets = forward(spec, params, raw, compute_dtype)
+        e_a = select_and_add_coordinates(offsets, anchors)
+        e_r = select_and_add_coordinates(offsets, references)
+        return oce_loss(
+            e_a, e_r, train_config.temperature, train_config.regularizer_weight
+        )[0]
+
+    def validation_loss(params):
+        total = 0.0
+        for raw_np, anc_np, ref_np in val_batches:
+            total += float(
+                eval_loss_fn(
+                    params,
+                    jnp.asarray(np.moveaxis(raw_np, 1, -1)),
+                    jnp.asarray(anc_np),
+                    jnp.asarray(ref_np),
+                )
+            )
+        return total / len(val_batches)
 
     loader = BatchLoader(
         dataset, train_config.batch_size, num_workers=train_config.num_workers
@@ -371,6 +430,10 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                 consume(pending)
                 pending = None
             if iteration % train_config.save_best_model_every == 0:
+                if val_batches is not None:
+                    val_loss = validation_loss(params)
+                    logger.add("val_loss", val_loss)
+                    print(f"===> validation loss: {val_loss:.6f}")
                 mean_loss = epoch_loss / num_iterations
                 if mean_loss < lowest_loss:
                     lowest_loss = mean_loss
