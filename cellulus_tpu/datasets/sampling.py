@@ -114,6 +114,29 @@ class PairSampler:
         host->device coordinate transfer per step (the coordinates for a
         252^2 crop are ~10 MB/batch — shipping an RNG key is 8 bytes).
         """
+        import jax.numpy as jnp
+
+        grouped = self.device_sampler_grouped()
+        n_refs = self.n_references
+
+        def sample(key, batch: int):
+            anchors_u, references = grouped(key, batch)
+            anchors = jnp.repeat(anchors_u, n_refs, axis=1)  # (B, n_pairs, D)
+            return anchors, references.reshape(
+                batch, -1, self.num_spatial_dims
+            )
+
+        return sample
+
+    def device_sampler_grouped(self):
+        """Like :meth:`device_sampler` but keeps the (anchor, reference)
+        grouping: returns ``(anchors (B, A, D), references (B, A, R, D))``
+        with each anchor listed once. Lets the train step gather each anchor
+        embedding once and broadcast over its R references — the gradient
+        scatter then touches A instead of A*R indices (TPU scatters are
+        serialized; this is the difference between ~5k and ~145k updates per
+        sample for default configs).
+        """
         import jax
         import jax.numpy as jnp
 
@@ -124,7 +147,6 @@ class PairSampler:
             [int(s) - k + 1 for s in self.output_shape], jnp.int32
         )
         n_anchors, n_refs = self.n_anchors, self.n_references
-        n_pairs = self.num_pairs
 
         def sample(key, batch: int):
             k_anchor, k_off = jax.random.split(key)
@@ -135,11 +157,14 @@ class PairSampler:
                 highs,
                 dtype=jnp.int32,
             )
-            anchors = jnp.repeat(anchors, n_refs, axis=1)  # (B, n_pairs, D)
             idx = jax.random.randint(
-                k_off, (batch, n_pairs), 0, len(self._offsets), dtype=jnp.int32
+                k_off,
+                (batch, n_anchors, n_refs),
+                0,
+                len(self._offsets),
+                dtype=jnp.int32,
             )
-            references = anchors + offsets[idx]
+            references = anchors[:, :, None, :] + offsets[idx]
             return anchors, references
 
         return sample

@@ -97,18 +97,32 @@ def make_train_step_fused(
     coordinates (~10 MB/step for default configs) are drawn on device with
     ``jax.random`` from the same distribution as the host sampler
     (:meth:`PairSampler.device_sampler`).
+
+    TPU-specific structure: each anchor embedding is gathered ONCE and
+    broadcast over its R references (mathematically identical to the
+    reference's repeated-anchor pair list, ``datasets/zarr_dataset.py:236``).
+    The gradient scatter in the gather's transpose then touches A instead of
+    A*R indices, and the reference side — stop-gradient, reference
+    ``criterions/oce_loss.py:55`` — contributes no scatter at all.
     """
-    sample = pair_sampler.device_sampler()
+    sample = pair_sampler.device_sampler_grouped()
+    n_refs = pair_sampler.n_references
 
     def step(params, opt_state, raw, key):
-        anchors, references = sample(key, batch_size)
+        anchors, references = sample(key, batch_size)  # (B,A,D), (B,A,R,D)
+        B, A, R, D = references.shape
 
         def loss_fn(p):
             offsets = forward(spec, p, raw, compute_dtype)
-            e_anchor = select_and_add_coordinates(offsets, anchors)
-            e_reference = select_and_add_coordinates(offsets, references)
+            e_anchor = select_and_add_coordinates(offsets, anchors)  # (B,A,D)
+            e_reference = select_and_add_coordinates(
+                jax.lax.stop_gradient(offsets), references.reshape(B, A * R, D)
+            ).reshape(B, A, R, D)
             loss, oce, reg = oce_loss(
-                e_anchor, e_reference, temperature, regularizer_weight
+                jnp.broadcast_to(e_anchor[:, :, None, :], (B, A, R, D)),
+                e_reference,
+                temperature,
+                regularizer_weight,
             )
             return loss, (oce, reg, offsets)
 
