@@ -20,6 +20,9 @@ class TrainConfig:
 
     Attributes:
         train_data_config: Dataset config for training data.
+        train_data_configs: [tpu extension] Optional list of dataset configs
+            for multi-dataset training; crops are drawn uniformly across
+            datasets (all must share channel count and dimensionality).
         validate_data_config: Dataset config for validation data.
         crop_size: Spatial size of training crops (model input size).
         batch_size: Samples per optimization step (global batch across the
@@ -48,6 +51,7 @@ class TrainConfig:
     """
 
     train_data_config: Optional[DatasetConfig] = None
+    train_data_configs: Optional[List[DatasetConfig]] = None
     validate_data_config: Optional[DatasetConfig] = None
     crop_size: List[int] = field(default_factory=lambda: [252, 252])
     batch_size: int = 8
@@ -72,6 +76,10 @@ class TrainConfig:
 
     def __post_init__(self) -> None:
         self.train_data_config = as_config(DatasetConfig, self.train_data_config)
+        if self.train_data_configs is not None:
+            self.train_data_configs = [
+                as_config(DatasetConfig, c) for c in self.train_data_configs
+            ]
         self.validate_data_config = as_config(DatasetConfig, self.validate_data_config)
         self.crop_size = list(self.crop_size)
         self.initial_learning_rate = float(self.initial_learning_rate)

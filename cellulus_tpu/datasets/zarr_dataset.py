@@ -173,6 +173,45 @@ class ZarrDataset:
         return self.num_spatial_dims
 
 
+class ConcatDataset:
+    """Uniform mixture over several :class:`ZarrDataset`s (multi-dataset
+    training). All member datasets must agree on channels, dimensionality
+    and pair-sampling configuration."""
+
+    def __init__(self, datasets):
+        if not datasets:
+            raise ValueError("ConcatDataset needs at least one dataset")
+        self.datasets = list(datasets)
+        first = self.datasets[0]
+        for ds in self.datasets[1:]:
+            if ds.num_channels != first.num_channels:
+                raise ValueError("datasets disagree on channel count")
+            if ds.num_spatial_dims != first.num_spatial_dims:
+                raise ValueError("datasets disagree on dimensionality")
+            if ds.output_shape != first.output_shape:
+                raise ValueError("datasets disagree on crop geometry")
+        self.seed = first.seed
+        self.sampler = first.sampler
+        self.sample_pairs = first.sample_pairs
+
+    def iterate(self, seed: int):
+        rng = np.random.default_rng(seed)
+        iterators = [
+            ds.iterate(seed + 31 * i) for i, ds in enumerate(self.datasets)
+        ]
+        while True:
+            yield next(iterators[rng.integers(0, len(iterators))])
+
+    def __iter__(self):
+        return self.iterate(self.seed)
+
+    def get_num_channels(self) -> int:
+        return self.datasets[0].num_channels
+
+    def get_num_spatial_dims(self) -> int:
+        return self.datasets[0].num_spatial_dims
+
+
 class BatchLoader:
     """Thread-prefetched batch collation over a :class:`ZarrDataset`.
 

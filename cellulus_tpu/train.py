@@ -251,19 +251,29 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     crop_size = tuple(train_config.crop_size)
     geometry = compute_geometry(crop_size, model_config.downsampling_factors)
 
-    dataset = get_dataset(
-        dataset_config=train_config.train_data_config,
-        crop_size=crop_size,
-        elastic_deform=train_config.elastic_deform,
-        control_point_spacing=train_config.control_point_spacing,
-        control_point_jitter=train_config.control_point_jitter,
-        density=train_config.density,
-        kappa=train_config.kappa,
-        normalization_factor=experiment_config.normalization_factor,
-        output_shape=geometry.output_size,
-        seed=train_config.seed,
-        sample_pairs=not train_config.device_pair_sampling,
-    )
+    def build_dataset(dataset_config):
+        return get_dataset(
+            dataset_config=dataset_config,
+            crop_size=crop_size,
+            elastic_deform=train_config.elastic_deform,
+            control_point_spacing=train_config.control_point_spacing,
+            control_point_jitter=train_config.control_point_jitter,
+            density=train_config.density,
+            kappa=train_config.kappa,
+            normalization_factor=experiment_config.normalization_factor,
+            output_shape=geometry.output_size,
+            seed=train_config.seed,
+            sample_pairs=not train_config.device_pair_sampling,
+        )
+
+    if train_config.train_data_configs:
+        from .datasets.zarr_dataset import ConcatDataset
+
+        dataset = ConcatDataset(
+            [build_dataset(c) for c in train_config.train_data_configs]
+        )
+    else:
+        dataset = build_dataset(train_config.train_data_config)
 
     spec = spec_from_config(
         model_config,
