@@ -75,3 +75,30 @@ def test_torch_checkpoint_roundtrip(tmp_path):
 def test_torch_import_rejects_garbage():
     with pytest.raises(ValueError):
         torch_state_dict_to_params({"some.unrelated.key": np.zeros((1,))})
+
+
+def test_tiled_prediction_matches_torch_forward():
+    """With TTA noise off (p=0, 1 iteration), the tiled sliding-window
+    prediction must reproduce the torch model's whole-image forward: valid
+    convs make tiling exact, so seams must be invisible."""
+    from cellulus_tpu.configs import InferenceConfig
+    from cellulus_tpu.predict import predict_sample
+
+    spec, params, model = _build_pair()
+    rng = np.random.default_rng(4)
+    raw = rng.random((1, 100, 120)).astype(np.float32)
+    ic = InferenceConfig(
+        crop_size=[52, 52], num_infer_iterations=1, p_salt_pepper=0.0
+    )
+    mine = predict_sample(spec, params, raw, ic, 1.0, sample_seed=0)
+
+    # torch reference: reflect-pad by the context, full forward
+    context = 8
+    padded = np.pad(raw, ((0, 0), (context, context), (context, context)),
+                    mode="reflect")
+    with torch.no_grad():
+        ref = model(torch.from_numpy(padded[None]))[0].numpy()
+    assert ref.shape == (2, 100, 120)
+    np.testing.assert_allclose(mine[:2], ref, atol=3e-4, rtol=1e-3)
+    # uncertainty channel is exactly 0 with a single noiseless pass
+    np.testing.assert_allclose(mine[2], 0.0, atol=1e-6)
