@@ -134,7 +134,7 @@ def copy_jax_params_to_torch(params, model: TorchOCEModel) -> None:
         conv.weight.data = torch.from_numpy(
             np.ascontiguousarray(w.transpose(perm))
         )
-        conv.bias.data = torch.from_numpy(np.asarray(conv_params["b"]))
+        conv.bias.data = torch.from_numpy(np.array(conv_params["b"], copy=True))
 
     L = len(model.backbone.factors)
     for l in range(L + 1):
