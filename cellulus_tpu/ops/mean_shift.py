@@ -46,7 +46,7 @@ def bin_seeds(X: np.ndarray, bin_size: float, min_bin_freq: int = 1) -> np.ndarr
     return (uniq[counts >= min_bin_freq] * bin_size).astype(X.dtype)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "chunk"))
+@partial(jax.jit, static_argnames=("max_iter", "chunk", "use_pallas"))
 def _fit_kernel(
     X: jnp.ndarray,  # (N, d) zero-padded
     x_valid: jnp.ndarray,  # (N,) bool
@@ -55,6 +55,7 @@ def _fit_kernel(
     bandwidth: jnp.ndarray,  # scalar
     max_iter: int,
     chunk: int,
+    use_pallas: bool = False,
 ):
     N, d = X.shape
     S = seeds.shape[0]
@@ -62,29 +63,47 @@ def _fit_kernel(
     bw2 = bandwidth * bandwidth
     x_norm2 = jnp.sum(X * X, axis=1)  # (N,)
 
-    def ball_stats(centers):
-        """counts (S,), sums (S, d) of valid points with dist <= bandwidth."""
-        c_norm2 = jnp.sum(centers * centers, axis=1)  # (S,)
+    if use_pallas:
+        from .pallas_mean_shift import ball_stats_padded, make_padded_point_set
 
-        def body(i, acc):
-            counts, sums = acc
-            sl = jax.lax.dynamic_slice_in_dim(X, i * chunk, chunk, axis=0)
-            sl_norm2 = jax.lax.dynamic_slice_in_dim(x_norm2, i * chunk, chunk)
-            sl_valid = jax.lax.dynamic_slice_in_dim(x_valid, i * chunk, chunk)
-            # (S, chunk) squared distances via MXU matmul
-            cross = jnp.dot(
-                centers, sl.T, preferred_element_type=jnp.float32
+        xp, xp_norm, xp_valid = make_padded_point_set(X, x_valid)
+
+        def ball_stats(centers):
+            return ball_stats_padded(
+                centers, d, xp, xp_norm, xp_valid, bw2
             )
-            d2 = c_norm2[:, None] + sl_norm2[None, :] - 2.0 * cross
-            within = (d2 <= bw2) & sl_valid[None, :]
-            w = within.astype(jnp.float32)
-            counts = counts + jnp.sum(w, axis=1)
-            sums = sums + jnp.dot(w, sl, preferred_element_type=jnp.float32)
-            return counts, sums
 
-        counts0 = jnp.zeros((S,), jnp.float32)
-        sums0 = jnp.zeros((S, d), jnp.float32)
-        return jax.lax.fori_loop(0, n_chunks, body, (counts0, sums0))
+    else:
+
+        def ball_stats(centers):
+            """counts (S,), sums (S, d) of valid points with dist <= bw."""
+            c_norm2 = jnp.sum(centers * centers, axis=1)  # (S,)
+
+            def body(i, acc):
+                counts, sums = acc
+                sl = jax.lax.dynamic_slice_in_dim(X, i * chunk, chunk, axis=0)
+                sl_norm2 = jax.lax.dynamic_slice_in_dim(
+                    x_norm2, i * chunk, chunk
+                )
+                sl_valid = jax.lax.dynamic_slice_in_dim(
+                    x_valid, i * chunk, chunk
+                )
+                # (S, chunk) squared distances via MXU matmul
+                cross = jnp.dot(
+                    centers, sl.T, preferred_element_type=jnp.float32
+                )
+                d2 = c_norm2[:, None] + sl_norm2[None, :] - 2.0 * cross
+                within = (d2 <= bw2) & sl_valid[None, :]
+                w = within.astype(jnp.float32)
+                counts = counts + jnp.sum(w, axis=1)
+                sums = sums + jnp.dot(
+                    w, sl, preferred_element_type=jnp.float32
+                )
+                return counts, sums
+
+            counts0 = jnp.zeros((S,), jnp.float32)
+            sums0 = jnp.zeros((S, d), jnp.float32)
+            return jax.lax.fori_loop(0, n_chunks, body, (counts0, sums0))
 
     stop_thresh = 1e-3 * bandwidth
 
@@ -187,6 +206,19 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def _use_pallas() -> bool:
+    """Pallas fit kernel on TPU by default (CELLULUS_TPU_NO_PALLAS=1 turns
+    it off); the XLA path elsewhere."""
+    import os
+
+    if os.environ.get("CELLULUS_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def mean_shift_fit_predict(
     X: np.ndarray,
     bandwidth: float,
@@ -232,6 +264,7 @@ def mean_shift_fit_predict(
         jnp.float32(bandwidth),
         max_iter,
         chunk,
+        use_pallas=_use_pallas(),
     )
 
     Np_pad = _next_pow2(max(n, 256))
