@@ -48,6 +48,9 @@ class InferenceConfig:
             ("float32" or "float16"); "float16" halves PCIe/host traffic at
             ~1e-3 relative precision cost (embeddings are stored as float32
             either way).
+        vectorized_bandwidth_sweep: run all ``num_bandwidths`` mean-shift
+            clusterings as one vmapped device computation (sharing one fit
+            subsample) instead of serially.
     """
 
     dataset_config: Optional[DatasetConfig] = None
@@ -74,6 +77,7 @@ class InferenceConfig:
     tile_batch_size: int = 1
     mean_shift_max_iterations: int = 300
     transfer_precision: str = "float32"
+    vectorized_bandwidth_sweep: bool = False
 
     def __post_init__(self) -> None:
         for name in (

@@ -82,7 +82,36 @@ def detect_sample(
         (inference_config.num_bandwidths, *embeddings_std.shape), dtype=np.uint16
     )
 
-    if inference_config.clustering == "meanshift":
+    if (
+        inference_config.clustering == "meanshift"
+        and inference_config.num_bandwidths > 1
+        and not inference_config.use_seeds
+        and getattr(inference_config, "vectorized_bandwidth_sweep", False)
+    ):
+        # TPU extension: all bandwidths cluster as one vmapped computation
+        from .ops.mean_shift import add_coordinate_grid, mean_shift_sweep_fit_predict
+
+        absolute = add_coordinate_grid(embeddings[:num_spatial_dims])
+        mask = embeddings_std < threshold
+        bandwidths = [
+            inference_config.bandwidth / (2**k)
+            for k in range(inference_config.num_bandwidths)
+        ]
+        if mask.sum() == 0:
+            return threshold, binary_mask, centered, detections
+        X = absolute.reshape(num_spatial_dims, -1).T[mask.ravel()]
+        labels = mean_shift_sweep_fit_predict(
+            X,
+            bandwidths,
+            reduction_probability=inference_config.reduction_probability,
+            max_iter=inference_config.mean_shift_max_iterations,
+            rng=rng,
+        )
+        for k in range(inference_config.num_bandwidths):
+            spatial = np.full(mask.shape, -1, np.int32)
+            spatial[mask] = labels[k]
+            detections[k] = (spatial + 1).astype(np.uint16)
+    elif inference_config.clustering == "meanshift":
         for k in range(inference_config.num_bandwidths):
             bandwidth = inference_config.bandwidth / (2**k)
             if inference_config.use_seeds:

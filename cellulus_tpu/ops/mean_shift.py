@@ -281,6 +281,74 @@ def mean_shift_fit_predict(
     return np.asarray(labels[:n])
 
 
+def mean_shift_sweep_fit_predict(
+    X: np.ndarray,
+    bandwidths,
+    reduction_probability: float = 1.0,
+    max_iter: int = 300,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Vectorized multi-bandwidth mean shift: fit + predict for K bandwidths
+    in ONE vmapped device computation (the K clustering problems share the
+    MXU batch instead of running serially). Returns ``(K, N)`` labels.
+
+    TPU extension (BASELINE.json config[4]); semantics match per-bandwidth
+    :func:`mean_shift_fit_predict` except that all bandwidths share one
+    fit subsample draw.
+    """
+    X = np.asarray(X, dtype=np.float32)
+    n, d = X.shape
+    bandwidths = [float(b) for b in bandwidths]
+    K = len(bandwidths)
+    if n == 0:
+        return np.zeros((K, 0), np.int32)
+
+    if reduction_probability < 1.0:
+        rng = rng or np.random.default_rng()
+        X_fit = X[rng.random(n) < reduction_probability]
+        if len(X_fit) == 0:
+            X_fit = X
+    else:
+        X_fit = X
+
+    seeds_list = [bin_seeds(X_fit, bin_size=b) for b in bandwidths]
+    S_max = max(len(s) for s in seeds_list)
+    S_pad = _next_pow2(max(S_max, 128))
+    N_pad = _next_pow2(max(len(X_fit), 512))
+    chunk = max(256, min(16384, (1 << 26) // S_pad, N_pad))
+    while N_pad % chunk:
+        chunk //= 2
+
+    seeds_arr = np.zeros((K, S_pad, d), np.float32)
+    seeds_valid = np.zeros((K, S_pad), bool)
+    for k, s in enumerate(seeds_list):
+        seeds_arr[k, : len(s)] = s
+        seeds_valid[k, : len(s)] = True
+
+    X_pad = jnp.asarray(_pad_rows(X_fit, N_pad))
+    x_valid = jnp.asarray(_pad_rows(np.ones(len(X_fit), bool), N_pad))
+    fit_one = partial(
+        _fit_kernel, max_iter=max_iter, chunk=chunk, use_pallas=False
+    )
+    centers, valid = jax.vmap(
+        lambda s, sv, bw: fit_one(X_pad, x_valid, s, sv, bw)
+    )(
+        jnp.asarray(seeds_arr),
+        jnp.asarray(seeds_valid),
+        jnp.asarray(bandwidths, jnp.float32),
+    )
+
+    Np_pad = _next_pow2(max(n, 512))
+    chunk_p = max(256, min(16384, (1 << 26) // S_pad, Np_pad))
+    while Np_pad % chunk_p:
+        chunk_p //= 2
+    X_all = jnp.asarray(_pad_rows(X, Np_pad))
+    labels = jax.vmap(
+        lambda c, v, bw: _predict_kernel(X_all, c, v, bw, chunk_p)
+    )(centers, valid, jnp.asarray(bandwidths, jnp.float32))
+    return np.asarray(labels[:, :n])
+
+
 # ---------------------------------------------------------------------------
 # full segmentation entry (reference utils/mean_shift.py:6-57 parity)
 # ---------------------------------------------------------------------------
