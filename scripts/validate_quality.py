@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--samples", type=int, default=2)
+    ap.add_argument("--ndim", type=int, default=2, choices=(2, 3))
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -42,18 +43,37 @@ def main():
     container = work / "data.zarr"
     if not (container / "train").exists():
         make_blob_container(
-            container, num_samples=args.samples, size=args.size, ndim=2, seed=11
+            container,
+            num_samples=args.samples,
+            size=args.size,
+            ndim=args.ndim,
+            seed=11,
         )
 
     object_size = int(args.size * 0.13)
+    if args.ndim == 2:
+        model_config = {"num_fmaps": 64, "fmap_inc_factor": 3}
+        crop = [252, 252]
+        batch = 8
+        kappa = 10.0
+    else:
+        model_config = {
+            "num_fmaps": 24,
+            "fmap_inc_factor": 3,
+            "downsampling_factors": [[1, 2, 2]],
+        }
+        crop = [32, 68, 68]
+        batch = 2
+        kappa = 4.0
     config = ExperimentConfig(
         **{
             "experiment_name": "quality-validation",
             "object_size": object_size,
-            "model_config": {"num_fmaps": 64, "fmap_inc_factor": 3},
+            "model_config": model_config,
             "train_config": {
-                "batch_size": 8,
-                "crop_size": [252, 252],
+                "batch_size": batch,
+                "kappa": kappa,
+                "crop_size": crop,
                 "max_iterations": args.iters,
                 "initial_learning_rate": 4e-4,
                 "num_workers": 4,
@@ -68,7 +88,7 @@ def main():
                 },
             },
             "inference_config": {
-                "crop_size": [252, 252],
+                "crop_size": crop,
                 "tile_batch_size": 4,
                 "transfer_precision": "float16",
                 "dataset_config": {
