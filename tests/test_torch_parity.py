@@ -77,6 +77,34 @@ def test_torch_import_rejects_garbage():
         torch_state_dict_to_params({"some.unrelated.key": np.zeros((1,))})
 
 
+def test_torch_export_roundtrip(tmp_path):
+    """params -> .pth -> params is exact, and the exported state_dict loads
+    into the reference-shaped torch model."""
+    import jax
+
+    from cellulus_tpu.models.torch_export import save_torch_checkpoint
+    from cellulus_tpu.utils.checkpoint import load_checkpoint
+
+    spec, params, model = _build_pair(factors=((2, 2), (2, 2)))
+    path = tmp_path / "export.pth"
+    save_torch_checkpoint(path, params, iteration=7, lowest_loss=0.5)
+
+    # the exported state dict must load into the torch reference model
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    model2 = TorchOCEModel(1, 2, 8, 2, 16, [[2, 2], [2, 2]], 2)
+    model2.load_state_dict(state["model_state_dict"], strict=True)
+
+    # and re-importing gives back the identical params
+    reimported = load_checkpoint(path)
+    assert reimported["iteration"] == 7
+    for a, b in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(reimported["params"])[0],
+    ):
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
 def test_tiled_prediction_matches_torch_forward():
     """With TTA noise off (p=0, 1 iteration), the tiled sliding-window
     prediction must reproduce the torch model's whole-image forward: valid
