@@ -16,7 +16,7 @@ dict pytree. ``forward`` is jit/vmap/grad-compatible and dtype-polymorphic
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax

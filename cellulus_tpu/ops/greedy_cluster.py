@@ -20,7 +20,6 @@ per iteration (matching the reference exactly):
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,9 +24,8 @@ Replicated sklearn behaviors (validated by parity tests against sklearn):
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

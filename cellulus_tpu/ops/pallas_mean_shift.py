@@ -30,7 +30,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 SEED_TILE = 128
 POINT_CHUNK = 512

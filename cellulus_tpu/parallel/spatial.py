@@ -17,7 +17,6 @@ regardless of image size.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

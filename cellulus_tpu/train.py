@@ -10,11 +10,9 @@ JAX's async dispatch.
 
 from __future__ import annotations
 
-import math
 import os
-from functools import partial
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
