@@ -36,18 +36,79 @@ def infer(argv=None) -> None:
     run(_load(args.config_file))
 
 
+def geometry(argv=None) -> None:
+    """Print the U-Net input/output geometry for a crop size, and nearby
+    valid alternatives."""
+    parser = argparse.ArgumentParser(
+        description="Inspect valid-conv U-Net geometry for a crop size"
+    )
+    parser.add_argument("crop_size", type=int, nargs="+")
+    parser.add_argument(
+        "--factors",
+        default="2,2",
+        help="downsampling factors: semicolon-separated levels of "
+        "comma-separated per-dim factors, e.g. '2,2;2,2' or '1,2,2'",
+    )
+    args = parser.parse_args(argv)
+    factors = [
+        [int(f) for f in level.split(",")] for level in args.factors.split(";")
+    ]
+
+    from .models.geometry import compute_geometry
+
+    crop = tuple(args.crop_size)
+    try:
+        g = compute_geometry(crop, factors)
+        print(f"input  {g.input_size}")
+        print(f"output {g.output_size}")
+        print(f"context (halo per side) {g.context}")
+    except ValueError as e:
+        print(f"invalid crop size {crop}: {e}")
+    # nearby valid sizes along each dim (isotropic probe)
+    valid = []
+    probe = list(crop)
+    for delta in range(0, 32):
+        for sign in (1, -1) if delta else (1,):
+            cand = tuple(c + sign * delta for c in crop)
+            if any(c <= 0 for c in cand):
+                continue
+            try:
+                gg = compute_geometry(cand, factors)
+                valid.append((cand, gg.output_size))
+            except ValueError:
+                pass
+        if len(valid) >= 5:
+            break
+    print("nearby valid sizes:")
+    for cand, out in valid[:5]:
+        print(f"  input {cand} -> output {out}")
+
+
 def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     parser = argparse.ArgumentParser(prog="cellulus-tpu")
+    parser.add_argument("--version", action="version", version=_version())
     sub = parser.add_subparsers(dest="command", required=True)
     for name in ("train", "infer"):
         p = sub.add_parser(name)
         p.add_argument("config_file")
-    args = parser.parse_args(argv)
+    g = sub.add_parser("geometry")
+    g.add_argument("crop_size", type=int, nargs="+")
+    g.add_argument("--factors", default="2,2")
+    args, _ = parser.parse_known_args(argv)
     if args.command == "train":
         train([args.config_file])
-    else:
+    elif args.command == "infer":
         infer([args.config_file])
+    else:
+        rest = [str(c) for c in args.crop_size] + ["--factors", args.factors]
+        geometry(rest)
+
+
+def _version() -> str:
+    from . import __version__
+
+    return __version__
 
 
 if __name__ == "__main__":
