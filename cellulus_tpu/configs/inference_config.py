@@ -51,6 +51,8 @@ class InferenceConfig:
         vectorized_bandwidth_sweep: run all ``num_bandwidths`` mean-shift
             clusterings as one vmapped device computation (sharing one fit
             subsample) instead of serially.
+        pipelined: overlap predict/detect/segment across samples (see
+            cellulus_tpu.pipeline); requires all three stage configs.
     """
 
     dataset_config: Optional[DatasetConfig] = None
@@ -78,6 +80,7 @@ class InferenceConfig:
     mean_shift_max_iterations: int = 300
     transfer_precision: str = "float32"
     vectorized_bandwidth_sweep: bool = False
+    pipelined: bool = False
 
     def __post_init__(self) -> None:
         for name in (

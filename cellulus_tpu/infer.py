@@ -71,6 +71,32 @@ def infer(experiment_config: ExperimentConfig):
     from .utils.profiling import maybe_trace, stage_timer
 
     results = None
+    pipelined = (
+        getattr(inference_config, "pipelined", False)
+        and inference_config.prediction_dataset_config is not None
+        and inference_config.detection_dataset_config is not None
+        and inference_config.segmentation_dataset_config is not None
+    )
+    if pipelined:
+        from .pipeline import infer_pipelined
+
+        with maybe_trace():
+            with stage_timer(
+                "predict+detect+segment (pipelined)",
+                items=meta.num_samples,
+                unit="samples",
+            ):
+                infer_pipelined(
+                    spec, params, inference_config, normalization_factor,
+                    compute_dtype,
+                )
+            if inference_config.evaluation_dataset_config is not None:
+                with stage_timer(
+                    "evaluate", items=meta.num_samples, unit="samples"
+                ):
+                    results = evaluate(inference_config)
+        return results
+
     with maybe_trace():
         if inference_config.prediction_dataset_config is not None:
             with stage_timer("predict", items=meta.num_samples, unit="samples"):

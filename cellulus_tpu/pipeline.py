@@ -1,0 +1,167 @@
+"""Pipelined inference: predict / detect / segment overlap across samples.
+
+The staged path (reference parity) runs each stage over all samples before
+the next stage starts (reference ``infer.py:69-80``). This orchestrator
+streams instead: while the device predicts sample ``s+1``'s tiles, a worker
+processes sample ``s`` through detect + segment; all zarr writebacks are
+asynchronous. End-to-end wall time approaches ``max(stage times)`` instead
+of their sum, with identical outputs (same stage functions, same RNG
+stream handling per sample).
+
+Used by ``infer()`` when ``inference_config.pipelined`` is set and all of
+predict/detect/segment are configured; falls back to staged execution
+otherwise (e.g. very large samples where keeping one sample's embeddings in
+RAM is undesirable is NOT gated here — embeddings of the current sample are
+held either way by the detect stage).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+
+import numpy as np
+
+from .configs import InferenceConfig
+from .detect import _spatial_attrs, detect_sample
+from .io import DatasetMetaData, zarr
+from .io.regions import read_reflect_region
+from .ops.components import size_filter
+from .ops.morphology import remove_halo_device
+from .predict import predict_sample
+from .segment import nucleus_partition
+
+
+def infer_pipelined(
+    spec,
+    params,
+    inference_config: InferenceConfig,
+    normalization_factor: float,
+    compute_dtype,
+) -> None:
+    ic = inference_config
+    meta = DatasetMetaData.from_dataset_config(ic.dataset_config)
+    D = meta.num_spatial_dims
+
+    raw_container = zarr.open(ic.dataset_config.container_path, "r")
+    raw_ds = raw_container[ic.dataset_config.dataset_name]
+    if normalization_factor is None:
+        from .datasets import normalization_factor_for
+
+        normalization_factor = normalization_factor_for(raw_ds.dtype)
+
+    f_pred = zarr.open(ic.prediction_dataset_config.container_path, "a")
+    from .models import compute_geometry
+
+    out_tile = compute_geometry(
+        tuple(ic.crop_size), spec.downsampling_factors
+    ).output_size
+    ds_emb = f_pred.create_dataset(
+        ic.prediction_dataset_config.dataset_name,
+        shape=(meta.num_samples, D + 1, *meta.spatial_array),
+        dtype=np.float32,
+        chunks=(1, D + 1, *out_tile),
+    )
+    ds_emb.attrs.update(_spatial_attrs(meta))
+
+    f_det = zarr.open(ic.detection_dataset_config.container_path, "a")
+    ds_detection = f_det.create_dataset(
+        ic.detection_dataset_config.dataset_name,
+        shape=(meta.num_samples, ic.num_bandwidths, *meta.spatial_array),
+        dtype=np.uint16,
+    )
+    ds_binary = f_det.create_dataset(
+        "binary-segmentation",
+        shape=(meta.num_samples, 1, *meta.spatial_array),
+        dtype=np.uint16,
+    )
+    ds_centered = f_det.create_dataset(
+        "centered-embeddings",
+        shape=(meta.num_samples, D + 1, *meta.spatial_array),
+        dtype=np.float32,
+    )
+    f_seg = zarr.open(ic.segmentation_dataset_config.container_path, "a")
+    ds_seg = f_seg.create_dataset(
+        ic.segmentation_dataset_config.dataset_name,
+        shape=(meta.num_samples, ic.num_bandwidths, *meta.spatial_array),
+        dtype=np.uint16,
+    )
+    for ds in (ds_detection, ds_binary, ds_centered, ds_seg):
+        ds.attrs.update(_spatial_attrs(meta))
+
+    raw_for_nucleus = None
+    if ic.post_processing == "nucleus":
+        raw_for_nucleus = raw_ds
+
+    rng = np.random.default_rng(ic.seed)
+
+    def process_sample(sample: int, embeddings: np.ndarray) -> None:
+        """detect + segment one sample (runs in the worker thread)."""
+        threshold, binary_mask, centered, detections = detect_sample(
+            embeddings, ic, D, rng
+        )
+        print(f"For sample {sample}, binary threshold {threshold} was used.")
+        ds_binary[sample, 0] = binary_mask.astype(np.uint16)
+        ds_centered[sample] = centered
+        ds_detection[sample] = detections
+        for k in range(ic.num_bandwidths):
+            if ic.post_processing == "cell":
+                seg = remove_halo_device(
+                    detections[k], ic.grow_distance, ic.shrink_distance
+                )
+            else:
+                raw_image = np.asarray(raw_for_nucleus[sample, 0])
+                seg = nucleus_partition(detections[k], raw_image)
+            ds_seg[sample, k] = size_filter(seg, ic.min_size).astype(np.uint16)
+
+    # single writer: overlapping tile writes stay in submission order
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as io_pool, \
+            concurrent.futures.ThreadPoolExecutor(max_workers=1) as stage_pool:
+        write_futures = []
+        stage_futures = []
+
+        for sample in range(meta.num_samples):
+            def source(origin, size, sample=sample):
+                return (
+                    read_reflect_region(
+                        lambda lo, hi: raw_ds[
+                            (sample, slice(None))
+                            + tuple(slice(*b) for b in zip(lo, hi))
+                        ],
+                        meta.spatial_array,
+                        origin,
+                        size,
+                    )
+                    * normalization_factor
+                )
+
+            embeddings = np.zeros((D + 1, *meta.spatial_array), np.float32)
+
+            def write_fn(tile_np, origin, sample=sample, emb=embeddings):
+                sel_local = (slice(None),) + tuple(
+                    slice(o, o + t) for o, t in zip(origin, tile_np.shape[1:])
+                )
+                emb[sel_local] = tile_np
+                sel = (sample,) + sel_local
+                write_futures.append(
+                    io_pool.submit(ds_emb.__setitem__, sel, tile_np)
+                )
+
+            predict_sample(
+                spec,
+                params,
+                None,
+                ic,
+                normalization_factor,
+                sample_seed=sample,
+                compute_dtype=compute_dtype,
+                write_fn=write_fn,
+                source=source,
+                spatial=meta.spatial_array,
+            )
+            # detect/segment this sample while the next sample predicts
+            stage_futures.append(
+                stage_pool.submit(process_sample, sample, embeddings)
+            )
+
+        for fut in stage_futures + write_futures:
+            fut.result()

@@ -285,7 +285,9 @@ def predict(
 
         mesh = make_mesh()
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+    # a single writer thread keeps overlapping (shingled) tile writes
+    # deterministic: the last tile in origin order wins, always
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         futures = []
 
         for sample in range(meta.num_samples):

@@ -1,0 +1,72 @@
+"""Pipelined inference must produce identical outputs to the staged path."""
+
+import numpy as np
+
+import cellulus_tpu
+from cellulus_tpu.configs import ExperimentConfig
+from cellulus_tpu.io import zarr
+
+
+def _config(container, out, pipelined):
+    return ExperimentConfig(
+        **{
+            "object_size": 10,
+            "model_config": {"num_fmaps": 8, "fmap_inc_factor": 2,
+                             "features_in_last_layer": 8},
+            "train_config": {
+                "batch_size": 2,
+                "crop_size": [36, 36],
+                "kappa": 6.0,
+                "max_iterations": 1,
+                "num_workers": 1,
+                "elastic_deform": False,
+                "train_data_config": {
+                    "container_path": str(container),
+                    "dataset_name": "train",
+                },
+            },
+            "inference_config": {
+                "crop_size": [68, 68],
+                "num_infer_iterations": 2,
+                "pipelined": pipelined,
+                "dataset_config": {
+                    "container_path": str(container),
+                    "dataset_name": "train",
+                },
+                "prediction_dataset_config": {
+                    "container_path": str(out),
+                    "dataset_name": "embeddings",
+                },
+                "detection_dataset_config": {
+                    "container_path": str(out),
+                    "dataset_name": "detection",
+                    "secondary_dataset_name": "embeddings",
+                },
+                "segmentation_dataset_config": {
+                    "container_path": str(out),
+                    "dataset_name": "segmentation",
+                    "secondary_dataset_name": "detection",
+                },
+            },
+        }
+    )
+
+
+def test_pipelined_matches_staged(blob_container_2d, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    config = _config(blob_container_2d, tmp_path / "a.zarr", False)
+    cellulus_tpu.train(config)
+    config.model_config.checkpoint = tmp_path / "models" / "best_loss.ckpt"
+    cellulus_tpu.infer(config)
+
+    config2 = _config(blob_container_2d, tmp_path / "b.zarr", True)
+    config2.model_config.checkpoint = tmp_path / "models" / "best_loss.ckpt"
+    cellulus_tpu.infer(config2)
+
+    a = zarr.open(tmp_path / "a.zarr", "r")
+    b = zarr.open(tmp_path / "b.zarr", "r")
+    for name in ("embeddings", "detection", "binary-segmentation",
+                 "centered-embeddings", "segmentation"):
+        np.testing.assert_array_equal(
+            np.asarray(a[name][...]), np.asarray(b[name][...]), err_msg=name
+        )
