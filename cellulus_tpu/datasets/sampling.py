@@ -86,14 +86,17 @@ class PairSampler:
     def sample(self, rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
         """Draw ``(anchors, references)`` of shape ``(num_pairs, D)`` (int32).
 
-        Anchor component ``d`` is uniform in ``[kappa, output_shape[d] -
-        kappa]`` inclusive. The x-first component order mirrors the
-        reference: component d is bounded by ``output_shape[d]`` and later
-        indexes spatial axis ``D-1-d`` of the prediction.
+        Coordinates are x-first: component ``d`` indexes spatial axis
+        ``D-1-d`` of the prediction, so its bound is
+        ``output_shape[D-1-d]`` (for the reference's square/cubic crops this
+        equals the reference's ``output_shape[d]`` bound,
+        ``zarr_dataset.py:202-235``; for anisotropic crops the reference's
+        convention would index out of bounds).
         """
         k = int(self.kappa)
+        bounds = list(reversed(self.output_shape))  # per x-first component
         lows = [k] * self.num_spatial_dims
-        highs = [int(s) - k + 1 for s in self.output_shape]
+        highs = [int(s) - k + 1 for s in bounds]
         anchors = np.stack(
             [
                 rng.integers(lo, hi, size=self.n_anchors)
@@ -143,8 +146,9 @@ class PairSampler:
         offsets = jnp.asarray(self._offsets)
         k = int(self.kappa)
         lows = jnp.asarray([k] * self.num_spatial_dims, jnp.int32)
+        # x-first components: component d indexes spatial axis D-1-d
         highs = jnp.asarray(
-            [int(s) - k + 1 for s in self.output_shape], jnp.int32
+            [int(s) - k + 1 for s in reversed(self.output_shape)], jnp.int32
         )
         n_anchors, n_refs = self.n_anchors, self.n_references
 

@@ -33,18 +33,39 @@ def test_sampler_bounds_and_pairing():
     rng = np.random.default_rng(0)
     anchors, refs = s.sample(rng)
     assert anchors.shape == refs.shape == (s.num_pairs, 2)
-    # anchors within [kappa, size - kappa] per component
-    assert anchors[:, 0].min() >= 8 and anchors[:, 0].max() <= 92
-    assert anchors[:, 1].min() >= 8 and anchors[:, 1].max() <= 72
-    # references stay strictly inside the output
-    assert refs[:, 0].min() >= 0 and refs[:, 0].max() < 100
-    assert refs[:, 1].min() >= 0 and refs[:, 1].max() < 80
+    # x-first: component 0 (x) indexes the LAST axis (80), component 1 (y)
+    # the first (100)
+    assert anchors[:, 0].min() >= 8 and anchors[:, 0].max() <= 72
+    assert anchors[:, 1].min() >= 8 and anchors[:, 1].max() <= 92
+    # references stay strictly inside the output (x-first bounds)
+    assert refs[:, 0].min() >= 0 and refs[:, 0].max() < 80
+    assert refs[:, 1].min() >= 0 and refs[:, 1].max() < 100
     # every reference is within kappa of its anchor, never equal
     d2 = ((refs - anchors) ** 2).sum(axis=1)
     assert (d2 > 0).all() and (d2 < 64).all()
     # anchors repeat in blocks of n_references
     blocks = anchors.reshape(s.n_anchors, s.n_references, 2)
     assert (blocks == blocks[:, :1]).all()
+
+
+def test_sampler_anisotropic_3d_in_bounds():
+    """Regression: anisotropic outputs must never index out of bounds
+    (z is component 2 and indexes the first axis)."""
+    out = (20, 52, 52)  # (z, y, x)
+    s = PairSampler(output_shape=out, density=0.1, kappa=4.0)
+    anchors, refs = s.sample(np.random.default_rng(0))
+    for coords in (anchors, refs):
+        assert coords[:, 0].max() < 52 and coords[:, 0].min() >= 0  # x
+        assert coords[:, 1].max() < 52 and coords[:, 1].min() >= 0  # y
+        assert coords[:, 2].max() < 20 and coords[:, 2].min() >= 0  # z
+    # device path too
+    import jax
+
+    sample = s.device_sampler()
+    a, r = sample(jax.random.PRNGKey(0), 2)
+    a, r = np.asarray(a), np.asarray(r)
+    assert a[..., 2].max() < 20 and r[..., 2].max() < 20
+    assert a[..., 0].max() < 52
 
 
 def test_sampler_3d():
