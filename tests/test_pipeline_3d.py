@@ -58,7 +58,9 @@ def test_full_pipeline_3d(blob_container_3d, tmp_path, monkeypatch):
             },
         }
     )
-    cellulus_tpu.train(config)
+    state = cellulus_tpu.train(config)
+    assert np.isfinite(state["lowest_loss"])  # regression: aniso 3D sampling
+    assert np.isfinite(state["logger_data"]["loss"]).all()
     config.model_config.checkpoint = tmp_path / "models" / "best_loss.ckpt"
     cellulus_tpu.infer(config)
 
