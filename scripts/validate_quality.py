@@ -62,9 +62,9 @@ def main():
             "fmap_inc_factor": 3,
             "downsampling_factors": [[1, 2, 2]],
         }
-        crop = [32, 68, 68]
+        crop = [40, 76, 76]
         batch = 2
-        kappa = 4.0
+        kappa = 8.0
     config = ExperimentConfig(
         **{
             "experiment_name": "quality-validation",
@@ -73,6 +73,7 @@ def main():
             "train_config": {
                 "batch_size": batch,
                 "kappa": kappa,
+                "density": 0.1 if args.ndim == 2 else 0.3,
                 "crop_size": crop,
                 "max_iterations": args.iters,
                 "initial_learning_rate": 4e-4,
