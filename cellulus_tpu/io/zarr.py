@@ -266,7 +266,6 @@ class Array:
         return chunk
 
     def _write_chunk(self, cidx: Tuple[int, ...], data: np.ndarray) -> None:
-        _chunk_cache.invalidate((str(self.path), cidx))
         buf = _compress(np.ascontiguousarray(data, dtype=self.dtype).tobytes(), self.compressor)
         p = self._chunk_path(cidx)
         tmp = p.with_name(
@@ -274,6 +273,10 @@ class Array:
         )
         tmp.write_bytes(buf)
         os.replace(tmp, p)
+        # invalidate AFTER the atomic replace: a reader racing the write may
+        # cache the old chunk mid-write, and invalidating first would let
+        # that stale entry survive
+        _chunk_cache.invalidate((str(self.path), cidx))
 
     # -- indexing ---------------------------------------------------------
 
