@@ -325,10 +325,7 @@ def measure_torch_baseline(spec, params, raw, embeddings, ic, n_tiles) -> float:
     size_filter(seg, ic.min_size)
     t_cluster_sample = time.perf_counter() - t0
 
-    tiles_per_sample = n_tiles  # detect/segment run per sample; scale below
-    total = t_tile * n_tiles + t_cluster_sample * 1  # one sample measured
-    # normalize: we measured cluster time for ONE sample; the torch predict
-    # time dominates, so approximate total cluster time by one sample's
+    # the serial torch TTA dominates; cluster time measured for one sample
     return n_tiles / (t_tile * n_tiles + t_cluster_sample)
 
 

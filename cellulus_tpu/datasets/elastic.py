@@ -40,7 +40,6 @@ def required_margin(crop_size: Tuple[int, ...], control_point_jitter: float) -> 
 def elastic_deform(
     padded: np.ndarray,
     crop_size: Tuple[int, ...],
-    margin: int,
     control_point_spacing: int,
     control_point_jitter: float,
     rng: np.random.Generator,

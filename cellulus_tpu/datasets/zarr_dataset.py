@@ -140,7 +140,6 @@ class ZarrDataset:
             crop = elastic_deform(
                 padded,
                 self.crop_size,
-                m,
                 self.control_point_spacing,
                 self.control_point_jitter,
                 rng,
