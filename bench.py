@@ -1,7 +1,9 @@
 """End-to-end inference throughput benchmark.
 
 Measures 2D tiles/sec through the full inference path — TTA embedding
-prediction + mean-shift clustering + segmentation post-processing — on
+prediction + mean-shift clustering + segmentation post-processing, both
+staged (per-stage breakdown) and pipelined end-to-end including zarr I/O
+(the headline number) — on
 synthetic blob data with the paper-recipe flagship model (64 fmaps, inc
 factor 3, one 2x level, 252^2 tiles; BASELINE.md "paper training recipe").
 The model is trained briefly on-device first so the foreground masks and
