@@ -48,6 +48,9 @@ class TrainConfig:
             the jitted step (same distribution as the host sampler, but no
             per-step coordinate transfer). Disable for bit-exact parity with
             the host sampling path.
+        loss_mode: "pairs" (reference-parity sampled pixel pairs) or
+            "dense" (gather-free shifted-field estimator with the same
+            expectation; fastest on TPU).
     """
 
     train_data_config: Optional[DatasetConfig] = None
@@ -73,6 +76,7 @@ class TrainConfig:
     seed: int = 0
     data_parallelism: Optional[int] = None
     device_pair_sampling: bool = True
+    loss_mode: str = "pairs"
 
     def __post_init__(self) -> None:
         self.train_data_config = as_config(DatasetConfig, self.train_data_config)
@@ -90,3 +94,5 @@ class TrainConfig:
         self.control_point_jitter = float(self.control_point_jitter)
         if self.precision not in ("float32", "bfloat16"):
             raise ValueError("precision must be 'float32' or 'bfloat16'")
+        if self.loss_mode not in ("pairs", "dense"):
+            raise ValueError("loss_mode must be 'pairs' or 'dense'")

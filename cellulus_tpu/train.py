@@ -134,6 +134,107 @@ def make_train_step_fused(
     return step
 
 
+def make_train_step_dense(
+    spec: UNetSpec,
+    optimizer,
+    temperature: float,
+    regularizer_weight: float,
+    pair_sampler,
+    batch_size: int,
+    compute_dtype=jnp.float32,
+):
+    """Gather-free train step: the pair loss as dense shifted-field slices.
+
+    For a reference offset ``o``, every pair ``(p, p + o)`` is a SHIFT of the
+    embedding field — a slice, not a gather. Drawing R offsets per step and a
+    Bernoulli anchor mask of rate ``density`` gives an estimator whose
+    expectation equals the reference's pair loss (anchors uniform over the
+    unbiased region x offsets uniform over the kappa-disk,
+    reference ``zarr_dataset.py:198-248``), with zero gather/scatter ops —
+    the whole loss fuses into elementwise VPU work.
+
+    Differences from the pair sampler (opt-in via
+    ``train_config.loss_mode = "dense"``): the R offsets are shared across
+    anchors within a step, and anchors are drawn without replacement.
+    """
+    import math
+
+    sampler = pair_sampler
+    offsets_table = jnp.asarray(sampler._offsets)  # (M, D) x-first
+    out = sampler.output_shape
+    ndim = len(out)
+    k = int(sampler.kappa)
+    unbiased = tuple(s - 2 * k for s in out)
+    # match the reference's expected pair count: n_anchors anchors out of
+    # the unbiased area, each with n_references offsets
+    area = float(np.prod(unbiased))
+    anchor_rate = min(1.0, sampler.n_anchors / area)
+    R = sampler.n_references
+
+    # absolute-coordinate grid, x-first channels, shaped (*out, D)
+    grids = []
+    for channel in range(ndim):
+        axis = ndim - 1 - channel
+        shape = [1] * ndim
+        shape[axis] = out[axis]
+        grids.append(
+            jnp.broadcast_to(
+                jnp.arange(out[axis], dtype=jnp.float32).reshape(shape), out
+            )
+        )
+    coord_grid = jnp.stack(grids, axis=-1)  # (*out, D)
+
+    def step(params, opt_state, raw, key):
+        k_off, k_mask = jax.random.split(key)
+        idx = jax.random.randint(k_off, (R,), 0, offsets_table.shape[0])
+        offs = offsets_table[idx]  # (R, D) x-first, int32
+        mask = jax.random.bernoulli(
+            k_mask, anchor_rate, (batch_size, *unbiased)
+        ).astype(jnp.float32)
+        n_anchor_samples = jnp.maximum(jnp.sum(mask), 1.0)
+
+        def loss_fn(p):
+            field = forward(spec, p, raw, compute_dtype)  # (B, *out, D)
+            e = field + coord_grid
+            e_sg = jax.lax.stop_gradient(e)
+            # anchor block: rows/cols [k, out-k)
+            a_start = (0,) + (k,) * ndim + (0,)
+            a_sizes = (batch_size, *unbiased, ndim)
+            e_anchor = jax.lax.dynamic_slice(e, a_start, a_sizes)
+
+            def per_offset(carry, o):
+                # o is (D,) x-first; spatial start for axis d is k + o[D-1-d]
+                starts = (jnp.int32(0),) + tuple(
+                    k + o[ndim - 1 - d] for d in range(ndim)
+                ) + (jnp.int32(0),)
+                e_ref = jax.lax.dynamic_slice(e_sg, starts, a_sizes)
+                diff = e_anchor - e_ref
+                sq = jnp.sum(diff * diff, axis=-1)
+                return carry + jnp.sum(mask * (1.0 - jnp.exp(-sq / temperature))), None
+
+            oce, _ = jax.lax.scan(per_offset, jnp.float32(0.0), offs)
+            reg = (
+                regularizer_weight
+                * R
+                * jnp.sum(mask * jnp.linalg.norm(e_anchor, axis=-1))
+            )
+            # normalize to the reference's pair count (batch_size * n_anchors
+            # anchors) so loss magnitudes and effective learning rates are
+            # comparable across modes
+            scale = (batch_size * sampler.n_anchors) / n_anchor_samples
+            loss = (oce + reg) * scale
+            return loss, (oce * scale, reg * scale, field)
+
+        (loss, (oce, reg, field)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, oce, field
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # state (de)serialization helpers
 # ---------------------------------------------------------------------------
@@ -355,7 +456,17 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             print(f"validation disabled: {e}")
             val_batches = None
 
-    if train_config.device_pair_sampling:
+    if getattr(train_config, "loss_mode", "pairs") == "dense":
+        step = make_train_step_dense(
+            spec,
+            optimizer,
+            train_config.temperature,
+            train_config.regularizer_weight,
+            dataset.sampler,
+            train_config.batch_size,
+            compute_dtype,
+        )
+    elif train_config.device_pair_sampling:
         step = make_train_step_fused(
             spec,
             optimizer,
@@ -428,7 +539,10 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             raw_np = batch[0]
             raw = jax.device_put(np.moveaxis(raw_np, 1, -1), data_sh)
 
-            if train_config.device_pair_sampling:
+            if (
+                train_config.device_pair_sampling
+                or getattr(train_config, "loss_mode", "pairs") == "dense"
+            ):
                 params, opt_state, loss, oce, offsets = step(
                     params, opt_state, raw, jax.random.fold_in(base_key, iteration)
                 )
