@@ -38,7 +38,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
-TRAIN_ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "200"))
+TRAIN_ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "300"))
 NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "2"))
 SIZE = int(os.environ.get("BENCH_SIZE", "944"))  # 4x4 output tiles of 236^2
 NUM_FMAPS = int(os.environ.get("BENCH_NUM_FMAPS", "64"))
@@ -53,7 +53,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    import cellulus_tpu  # noqa: F401
+    import cellulus_tpu
+
+    cellulus_tpu.enable_compilation_cache()
     from cellulus_tpu.configs import ExperimentConfig
     from cellulus_tpu.detect import detect_sample
     from cellulus_tpu.io import zarr
