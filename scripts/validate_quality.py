@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--ndim", type=int, default=2, choices=(2, 3))
+    ap.add_argument("--loss-mode", default="pairs", choices=("pairs", "dense"))
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -73,6 +74,7 @@ def main():
             "train_config": {
                 "batch_size": batch,
                 "kappa": kappa,
+                "loss_mode": args.loss_mode,
                 "density": 0.1 if args.ndim == 2 else 0.3,
                 "crop_size": crop,
                 "max_iterations": args.iters,
