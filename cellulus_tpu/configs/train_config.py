@@ -48,9 +48,12 @@ class TrainConfig:
             the jitted step (same distribution as the host sampler, but no
             per-step coordinate transfer). Disable for bit-exact parity with
             the host sampling path.
-        loss_mode: "pairs" (reference-parity sampled pixel pairs) or
-            "dense" (gather-free shifted-field estimator with the same
-            expectation; fastest on TPU).
+        loss_mode: "pairs" (reference-parity sampled pixel pairs; default,
+            recommended) or "dense" (EXPERIMENTAL gather-free shifted-field
+            estimator: same expectation and ~1.4x faster steps, but its
+            per-step gradient is ~10x noisier because the R offsets are
+            shared across anchors — observed to stall training; kept for
+            research).
     """
 
     train_data_config: Optional[DatasetConfig] = None

@@ -156,6 +156,13 @@ def make_train_step_dense(
     Differences from the pair sampler (opt-in via
     ``train_config.loss_mode = "dense"``): the R offsets are shared across
     anchors within a step, and anchors are drawn without replacement.
+
+    EXPERIMENTAL. The shared offsets make per-step gradients ~10x noisier
+    than the pair estimator (each anchor's pulls are correlated instead of
+    averaging over independent offsets), which was observed to stall
+    training despite the matching expectation. Steps are ~1.4x faster and
+    compile ~9x faster; a future variant needs per-anchor offset diversity
+    without gathers to be competitive.
     """
     import math
 
