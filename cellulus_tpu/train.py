@@ -164,8 +164,6 @@ def make_train_step_dense(
     compile ~9x faster; a future variant needs per-anchor offset diversity
     without gathers to be competitive.
     """
-    import math
-
     sampler = pair_sampler
     offsets_table = jnp.asarray(sampler._offsets)  # (M, D) x-first
     out = sampler.output_shape
