@@ -240,6 +240,108 @@ def make_train_step_dense(
     return step
 
 
+def make_train_step_grid(
+    spec: UNetSpec,
+    optimizer,
+    temperature: float,
+    regularizer_weight: float,
+    pair_sampler,
+    batch_size: int,
+    compute_dtype=jnp.float32,
+):
+    """Stratified-anchor train step: no gather and no scatter on the live
+    gradient path.
+
+    Anchors sit on a regular grid over the unbiased region with a per-step
+    random jitter shared across the grid — a STRIDED SLICE of the embedding
+    field instead of a 4.7k-index gather (whose transpose scatter dominates
+    the pair-mode step: 25 of 37 ms measured on v5e). Stratified sampling
+    covers every pixel uniformly in expectation and has *lower* variance
+    than iid anchors; each anchor's R reference offsets remain iid (drawn
+    per anchor as in the reference), so the dense-mode shared-offset noise
+    pathology does not apply. References are gathered from the
+    stop-gradient field — forward-only, no transpose.
+
+    Distribution vs the reference sampler: anchor positions are stratified
+    (grid + shared jitter) rather than iid uniform; reference offsets and
+    all loss terms are unchanged.
+    """
+    sampler = pair_sampler
+    offsets_table = jnp.asarray(sampler._offsets)  # (M, D) x-first
+    out = sampler.output_shape
+    ndim = len(out)
+    k = int(sampler.kappa)
+    unbiased = tuple(s - 2 * k for s in out)
+    area = float(np.prod(unbiased))
+    # stride so the grid has about the reference's anchor count
+    stride = max(1, int(round((area / max(sampler.n_anchors, 1)) ** (1 / ndim))))
+    grid_dims = tuple(max(1, u // stride) for u in unbiased)
+    A = int(np.prod(grid_dims))
+    R = sampler.n_references
+
+    def step(params, opt_state, raw, key):
+        k_j, k_off = jax.random.split(key)
+        jitter = jax.random.randint(k_j, (ndim,), 0, stride)  # per spatial axis
+
+        # anchor coordinates, x-first components (B-independent)
+        axis_coords = [
+            k + jitter[d] + stride * jnp.arange(grid_dims[d])
+            for d in range(ndim)
+        ]  # axis d is the d-th spatial axis
+        mesh = jnp.meshgrid(*axis_coords, indexing="ij")  # each (*grid_dims)
+        # x-first channel order: component c corresponds to axis ndim-1-c
+        anchor_coords = jnp.stack(
+            [mesh[ndim - 1 - c].ravel() for c in range(ndim)], axis=-1
+        )  # (A, D) int32
+        anchors = jnp.broadcast_to(anchor_coords[None], (batch_size, A, ndim))
+
+        idx = jax.random.randint(
+            k_off, (batch_size, A, R), 0, offsets_table.shape[0]
+        )
+        references = anchors[:, :, None, :] + offsets_table[idx]  # (B,A,R,D)
+
+        def loss_fn(p):
+            offsets = forward(spec, p, raw, compute_dtype)  # (B,*out,D)
+            # anchor embeddings by strided slicing (gather-free)
+            start = (jnp.int32(0),) + tuple(
+                k + jitter[d] for d in range(ndim)
+            ) + (jnp.int32(0),)
+            sizes = (batch_size,) + tuple(
+                stride * (g - 1) + 1 for g in grid_dims
+            ) + (spec.out_channels,)
+            block = jax.lax.dynamic_slice(offsets, start, sizes)
+            sl = (slice(None),) + tuple(
+                slice(None, None, stride) for _ in range(ndim)
+            ) + (slice(None),)
+            e_anchor = block[sl].reshape(batch_size, A, ndim)
+            e_anchor = e_anchor + anchors.astype(e_anchor.dtype)
+
+            e_reference = select_and_add_coordinates(
+                jax.lax.stop_gradient(offsets),
+                references.reshape(batch_size, A * R, ndim),
+            ).reshape(batch_size, A, R, ndim)
+            loss, oce, reg = oce_loss(
+                jnp.broadcast_to(
+                    e_anchor[:, :, None, :], (batch_size, A, R, ndim)
+                ),
+                e_reference,
+                temperature,
+                regularizer_weight,
+            )
+            # normalize to the reference pair count for comparable magnitudes
+            scale = sampler.n_anchors / A
+            return loss * scale, (oce * scale, reg * scale, offsets)
+
+        (loss, (oce, reg, offsets)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, oce, offsets
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # state (de)serialization helpers
 # ---------------------------------------------------------------------------
@@ -461,7 +563,17 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             print(f"validation disabled: {e}")
             val_batches = None
 
-    if getattr(train_config, "loss_mode", "pairs") == "dense":
+    if getattr(train_config, "loss_mode", "pairs") == "grid":
+        step = make_train_step_grid(
+            spec,
+            optimizer,
+            train_config.temperature,
+            train_config.regularizer_weight,
+            dataset.sampler,
+            train_config.batch_size,
+            compute_dtype,
+        )
+    elif getattr(train_config, "loss_mode", "pairs") == "dense":
         step = make_train_step_dense(
             spec,
             optimizer,
@@ -546,7 +658,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
 
             if (
                 train_config.device_pair_sampling
-                or getattr(train_config, "loss_mode", "pairs") == "dense"
+                or getattr(train_config, "loss_mode", "pairs") != "pairs"
             ):
                 params, opt_state, loss, oce, offsets = step(
                     params, opt_state, raw, jax.random.fold_in(base_key, iteration)
