@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--ndim", type=int, default=2, choices=(2, 3))
-    ap.add_argument("--loss-mode", default="pairs", choices=("pairs", "dense"))
+    ap.add_argument("--loss-mode", default="pairs", choices=("pairs", "grid", "dense"))
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
