@@ -529,6 +529,14 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     params = jax.device_put(params, rep_sh)
     opt_state = jax.device_put(opt_state, rep_sh)
 
+    if n_dev == 1:
+        # single device: plain transfers avoid the sharding-metadata path
+        def put_batch(x):
+            return jnp.asarray(x)
+    else:
+        def put_batch(x):
+            return jax.device_put(x, data_sh)
+
     # validation: the reference accepts validate_data_config but never uses
     # it (reference train.py never touches it); here a validation loss is
     # computed at the best-model cadence and logged alongside train loss
@@ -654,7 +662,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             batch = next(batches)
             # channels-last for the device
             raw_np = batch[0]
-            raw = jax.device_put(np.moveaxis(raw_np, 1, -1), data_sh)
+            raw = put_batch(np.ascontiguousarray(np.moveaxis(raw_np, 1, -1)))
 
             if (
                 train_config.device_pair_sampling
@@ -664,8 +672,8 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                     params, opt_state, raw, jax.random.fold_in(base_key, iteration)
                 )
             else:
-                anchors = jax.device_put(batch[1], data_sh)
-                references = jax.device_put(batch[2], data_sh)
+                anchors = put_batch(batch[1])
+                references = put_batch(batch[2])
                 params, opt_state, loss, oce, offsets = step(
                     params, opt_state, raw, anchors, references
                 )
