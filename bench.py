@@ -63,7 +63,7 @@ def main():
     from cellulus_tpu.predict import predict_sample
     from cellulus_tpu.ops.morphology import remove_halo_device
     from cellulus_tpu.ops.components import size_filter
-    from cellulus_tpu.train import make_optimizer, make_train_step_fused
+    from cellulus_tpu.train import make_optimizer, make_train_step_grid
     from cellulus_tpu.datasets import BatchLoader, get_dataset
     from synthetic import make_blob_container
 
@@ -140,7 +140,7 @@ def main():
     optimizer = make_optimizer(1e-4)
     opt_state = optimizer.init(params)
     step = jax.jit(
-        make_train_step_fused(
+        make_train_step_grid(
             spec, optimizer, tc.temperature, tc.regularizer_weight,
             dataset.sampler, tc.batch_size, jnp.bfloat16,
         ),
