@@ -76,7 +76,7 @@ class InferenceConfig:
     shrink_distance: int = 6
     precision: str = "float32"
     seed: int = 0
-    tile_batch_size: int = 1
+    tile_batch_size: int = 4
     mean_shift_max_iterations: int = 300
     transfer_precision: str = "float32"
     vectorized_bandwidth_sweep: bool = False
