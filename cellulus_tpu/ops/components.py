@@ -1,23 +1,39 @@
-"""Connected components and size filtering (host side).
+"""Connected components and size filtering.
 
-Replaces ``skimage.measure.label`` / reference ``utils/misc.py:11-25`` with a
-scipy-based implementation (skimage semantics: full connectivity — 8 in 2D,
-26 in 3D — and labels relabeled consecutively from 1).
+Replaces ``skimage.measure.label`` / reference ``utils/misc.py:11-25``.
+Semantics: full connectivity (8 in 2D, 26 in 3D), components of *different*
+input ids stay separate, labels relabeled consecutively from 1 ordered by
+(input id, raster order of the component's first pixel) — identical to
+looping ``ndi.label`` over each distinct value.
+
+Two implementations with identical outputs (parity-tested):
+
+- :func:`label_host` — scipy ``ndi.label`` once per distinct value. O(#ids)
+  full-image passes on the host; kept as the parity oracle.
+- :func:`label` — on-device single-pass kernel: per-pixel parent pointers
+  initialised to the pixel's own flat index, then a ``lax.while_loop`` that
+  alternates equal-value neighbor-min propagation (8/26 shifted compares,
+  pure VPU work) with pointer jumping (``p <- p[p]``, a flat gather) until
+  fixpoint. Parent values only ever decrease and ``p[i] <= i`` is invariant,
+  so the fixpoint maps every pixel of a component to the component's
+  *minimum* flat index — which is exactly its first pixel in raster order,
+  giving the host ordering for free. One device dispatch per image instead
+  of #ids host passes (the detect/segment hot-loop fix, VERDICT round 1
+  item 2).
 """
 
 from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
 
 import numpy as np
 from scipy import ndimage as ndi
 
 
-def label(array: np.ndarray) -> np.ndarray:
-    """Connected-component labeling of ``array != 0`` with full connectivity.
-
-    Components of *different* input ids stay separate components (matching
-    ``skimage.measure.label`` on an id image, where each distinct value forms
-    its own components).
-    """
+def label_host(array: np.ndarray) -> np.ndarray:
+    """Host (scipy) connected-component labeling; parity oracle for
+    :func:`label`."""
     structure = np.ones((3,) * array.ndim, dtype=bool)
     out = np.zeros(array.shape, dtype=np.int32)
     next_label = 0
@@ -31,17 +47,129 @@ def label(array: np.ndarray) -> np.ndarray:
     return out
 
 
+@lru_cache(maxsize=None)
+def _cc_kernel(shape: tuple, jump_steps: int = 2):
+    """Jitted connected-components parent-pointer kernel for one shape.
+
+    Returns a function ``values (int32, *shape) -> parents (int32, *shape)``
+    where background pixels map to the sentinel ``N = prod(shape)`` and every
+    foreground pixel maps to its component's minimum flat index.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ndim = len(shape)
+    N = math.prod(shape)
+    offsets = [
+        off
+        for off in np.ndindex(*(3,) * ndim)
+        if any(o != 1 for o in off)
+    ]  # 3^D - 1 neighbor shifts, as pad-slice offsets in {0,1,2}^D
+
+    def run(values):
+        idx = jnp.arange(N, dtype=jnp.int32).reshape(shape)
+        mask = values != 0
+        parent0 = jnp.where(mask, idx, N)
+        v_pad = jnp.pad(values, 1, constant_values=0)
+
+        def neighbor_min(parent):
+            p_pad = jnp.pad(parent, 1, constant_values=N)
+            best = parent
+            for off in offsets:
+                sl = tuple(slice(o, o + s) for o, s in zip(off, shape))
+                same = (v_pad[sl] == values) & mask
+                best = jnp.where(same, jnp.minimum(best, p_pad[sl]), best)
+            return best
+
+        def body(state):
+            parent, _ = state
+            p = neighbor_min(parent)
+            # pointer jumping: p <- p[p] (flat gather; sentinel row appended)
+            for _ in range(jump_steps):
+                pf = jnp.concatenate([p.ravel(), jnp.full((1,), N, jnp.int32)])
+                p = pf[p]
+            return p, jnp.any(p != parent)
+
+        parent, _ = jax.lax.while_loop(
+            lambda s: s[1], body, (parent0, jnp.bool_(True))
+        )
+        return parent
+
+    return jax.jit(run)
+
+
+def _relabel_from_parents(
+    values_flat: np.ndarray, parents_flat: np.ndarray, N: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compact parent indices to consecutive labels ordered by
+    (input id, component min flat index).
+
+    Returns ``(labels_flat int32, component_sizes, component_input_ids)``
+    with ``component_sizes[k]`` the pixel count of label ``k+1``.
+    """
+    # all O(N) table lookups: roots are flat indices in [0, N]
+    root_counts = np.bincount(parents_flat, minlength=N + 1)
+    uniq = np.flatnonzero(root_counts[:N]).astype(np.int64)  # sorted roots
+    vals = values_flat[uniq]
+    order = np.lexsort((uniq, vals))
+    rank_of_root = np.zeros(N + 1, np.int32)  # sentinel/bg -> 0
+    rank_of_root[uniq[order]] = np.arange(1, len(uniq) + 1, dtype=np.int32)
+    labels_flat = rank_of_root[parents_flat]
+    sizes = np.empty(len(uniq), np.int64)
+    sizes[rank_of_root[uniq] - 1] = root_counts[uniq]
+    ids = np.empty(len(uniq), values_flat.dtype)
+    ids[rank_of_root[uniq] - 1] = vals
+    return labels_flat, sizes, ids
+
+
+def label(array: np.ndarray) -> np.ndarray:
+    """Connected-component labeling of ``array != 0`` with full connectivity
+    (device kernel; output identical to :func:`label_host`)."""
+    values = np.ascontiguousarray(array, dtype=np.int32)
+    parents = np.asarray(_cc_kernel(values.shape)(values))
+    labels_flat, _, _ = _relabel_from_parents(
+        values.ravel(), parents.ravel(), values.size
+    )
+    return labels_flat.reshape(array.shape)
+
+
 def size_filter(
     segmentation: np.ndarray, min_size: int, filter_non_connected: bool = True
 ) -> np.ndarray:
     """Drop components smaller than ``min_size`` pixels, then relabel
-    (reference ``utils/misc.py:11-25``)."""
+    (reference ``utils/misc.py:11-25``).
+
+    With ``filter_non_connected`` (the reference default) this is one device
+    labeling pass: removing whole connected components cannot change the
+    connectivity of the survivors, so the final ``label()`` of the filtered
+    image equals the first labeling with small components dropped and ranks
+    compacted.
+    """
     if min_size == 0:
         return segmentation
 
-    filter_labels = label(segmentation) if filter_non_connected else segmentation
-    ids, sizes = np.unique(filter_labels, return_counts=True)
-    small = ids[sizes < min_size]
-    segmentation = segmentation.copy()
-    segmentation[np.isin(filter_labels, small)] = 0
-    return label(segmentation)
+    values = np.ascontiguousarray(segmentation, dtype=np.int32)
+    parents = np.asarray(_cc_kernel(values.shape)(values)).ravel()
+    labels_flat, sizes, _ = _relabel_from_parents(
+        values.ravel(), parents, values.size
+    )
+
+    if filter_non_connected:
+        keep = sizes >= min_size
+    else:
+        # sizes per ORIGINAL id decide survival; components inherit their
+        # id's verdict
+        ids, id_sizes = np.unique(values[values != 0], return_counts=True)
+        id_keep = dict(zip(ids.tolist(), (id_sizes >= min_size).tolist()))
+        _, _, comp_ids = _relabel_from_parents(
+            values.ravel(), parents, values.size
+        )
+        keep = np.fromiter(
+            (id_keep[int(i)] for i in comp_ids), bool, len(comp_ids)
+        )
+
+    # map: dropped -> 0, survivors -> consecutive ranks (order preserved,
+    # which matches label() on the filtered image)
+    remap = np.zeros(len(sizes) + 1, np.int32)
+    remap[1:][keep] = np.arange(1, int(keep.sum()) + 1, dtype=np.int32)
+    return remap[labels_flat].reshape(segmentation.shape)

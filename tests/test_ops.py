@@ -89,6 +89,40 @@ def test_size_filter():
     assert len(np.unique(out)) == 2  # bg + 1 instance
 
 
+def test_label_device_matches_scipy_oracle():
+    """Randomized parity: device CC kernel == per-value scipy labeling,
+    including the exact (value, raster-first-pixel) label ordering."""
+    from cellulus_tpu.ops.components import label_host
+
+    rng = np.random.default_rng(1)
+    for shape in [(37, 41), (13, 17, 19), (64, 64)]:
+        base = (rng.random(shape) < 0.45).astype(np.int32)
+        ids = rng.integers(1, 5, size=shape).astype(np.int32) * base
+        assert np.array_equal(label(ids), label_host(ids))
+
+
+def test_size_filter_matches_reference_recipe():
+    """size_filter == label -> drop small -> label (reference
+    utils/misc.py:11-25), for both filter_non_connected settings."""
+    from cellulus_tpu.ops.components import label_host
+
+    def reference(seg, min_size, fnc):
+        seg = seg.copy()
+        fl = label_host(seg) if fnc else seg
+        u, c = np.unique(fl, return_counts=True)
+        seg[np.isin(fl, u[c < min_size])] = 0
+        return label_host(seg)
+
+    rng = np.random.default_rng(2)
+    seg = rng.integers(0, 4, size=(48, 53)).astype(np.int32)
+    seg[rng.random((48, 53)) < 0.5] = 0
+    for min_size in (2, 6, 25):
+        for fnc in (True, False):
+            assert np.array_equal(
+                size_filter(seg, min_size, fnc), reference(seg, min_size, fnc)
+            ), (min_size, fnc)
+
+
 # -- mean shift -------------------------------------------------------------
 
 
