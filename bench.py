@@ -57,12 +57,11 @@ def main():
 
     cellulus_tpu.enable_compilation_cache()
     from cellulus_tpu.configs import ExperimentConfig
-    from cellulus_tpu.detect import detect_sample
+    from cellulus_tpu.detect import detect_sample, sample_rng
     from cellulus_tpu.io import zarr
     from cellulus_tpu.models import compute_geometry, init_params, spec_from_config
     from cellulus_tpu.predict import predict_sample
-    from cellulus_tpu.ops.morphology import remove_halo_device
-    from cellulus_tpu.ops.components import size_filter
+    from cellulus_tpu.segment import cell_segment_sample
     from cellulus_tpu.train import make_optimizer, make_train_step_grid
     from cellulus_tpu.datasets import BatchLoader, get_dataset
     from synthetic import make_blob_container
@@ -122,7 +121,13 @@ def main():
     n_tiles = tiles_per_sample * NUM_SAMPLES
 
     # ---- brief on-device training so detect sees realistic embeddings ----
-    log(f"training {TRAIN_ITERS} iters on {jax.devices()[0].platform}...")
+    # streaming loop: native (uint8) crop transfer + K steps fused per
+    # dispatch via lax.scan (train_config.steps_per_dispatch semantics)
+    K = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "10"))
+    log(
+        f"training {TRAIN_ITERS} iters on {jax.devices()[0].platform} "
+        f"(grid loss, native uint8 transfer, {K} steps/dispatch)..."
+    )
     dataset = get_dataset(
         dataset_config=tc.train_data_config,
         crop_size=tuple(tc.crop_size),
@@ -135,43 +140,115 @@ def main():
         output_shape=geometry.output_size,
         seed=0,
         sample_pairs=False,
+        normalize=False,
     )
     params = init_params(jax.random.PRNGKey(0), spec)
     optimizer = make_optimizer(1e-4)
     opt_state = optimizer.init(params)
-    step = jax.jit(
-        make_train_step_grid(
-            spec, optimizer, tc.temperature, tc.regularizer_weight,
-            dataset.sampler, tc.batch_size, jnp.bfloat16,
-        ),
-        donate_argnums=(0, 1),
+    from cellulus_tpu.train import make_multi_step
+
+    step_fn = make_train_step_grid(
+        spec, optimizer, tc.temperature, tc.regularizer_weight,
+        dataset.sampler, tc.batch_size, jnp.bfloat16,
+        input_scale=dataset.normalization_factor,
     )
+    multi = jax.jit(make_multi_step(step_fn), donate_argnums=(0, 1))
     base_key = jax.random.PRNGKey(7)
+
+    # MFU bookkeeping: train step ~ 3x forward flops (fwd + act grads +
+    # weight grads)
+    from cellulus_tpu.models import model_flops
+
+    step_flops = 3 * model_flops(spec, tuple(tc.crop_size)) * tc.batch_size
+    peak_flops = float(
+        os.environ.get("BENCH_PEAK_TFLOPS", "197")
+    ) * 1e12  # v5e bf16 per chip unless overridden
+
     t_train0 = time.perf_counter()
     train_samples = 0
+    n_chunks = (TRAIN_ITERS + K - 1) // K
     with BatchLoader(dataset, tc.batch_size, num_workers=4) as loader:
         it = iter(loader)
-        for i in range(TRAIN_ITERS):
-            (raw_np,) = next(it)
-            params, opt_state, loss, _, _ = step(
-                params,
-                opt_state,
-                jnp.asarray(np.moveaxis(raw_np, 1, -1)),
-                jax.random.fold_in(base_key, i),
+        for c in range(n_chunks):
+            raw_K = np.stack(
+                [np.moveaxis(next(it)[0], 1, -1) for _ in range(K)]
             )
-            train_samples += tc.batch_size
-            if i == 0:
-                jax.block_until_ready(loss)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+                jnp.arange(c * K, (c + 1) * K)
+            )
+            params, opt_state, losses, _ = multi(
+                params, opt_state, jnp.asarray(raw_K), keys
+            )
+            train_samples += K * tc.batch_size
+            if c == 0:
+                jax.block_until_ready(losses)
                 t_train0 = time.perf_counter()  # exclude compile
                 train_samples = 0
-    jax.block_until_ready(loss)
+    loss = jax.block_until_ready(losses)[-1]
     train_secs = time.perf_counter() - t_train0
     train_sps = train_samples / max(train_secs, 1e-9)
-    log(f"train: {train_sps:.2f} samples/s/chip (loss {float(loss):.3f})")
+    train_mfu = step_flops * (train_samples / tc.batch_size) / max(
+        train_secs, 1e-9
+    ) / peak_flops
+    log(
+        f"train (streaming, incl. h2d over tunnel): {train_sps:.2f} "
+        f"samples/s/chip, MFU {100 * train_mfu:.1f}% (loss {float(loss):.3f})"
+    )
+
+    # device-resident throughput: scan over pre-staged batches — the loop
+    # ceiling without the tunnel's per-dispatch h2d tax
+    STAGE = 4  # dispatches of K steps over one staged super-batch
+    with BatchLoader(dataset, tc.batch_size, num_workers=4) as loader:
+        it = iter(loader)
+        raw_K = jnp.asarray(
+            np.stack([np.moveaxis(next(it)[0], 1, -1) for _ in range(K)])
+        )
+    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(jnp.arange(K))
+    params, opt_state, losses, _ = multi(params, opt_state, raw_K, keys)
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    for c in range(STAGE):
+        params, opt_state, losses, _ = multi(params, opt_state, raw_K, keys)
+    jax.block_until_ready(losses)
+    t_res = time.perf_counter() - t0
+    res_sps = STAGE * K * tc.batch_size / t_res
+    res_mfu = step_flops * STAGE * K / t_res / peak_flops
+    log(
+        f"train (device-resident batches): {res_sps:.2f} samples/s/chip, "
+        f"MFU {100 * res_mfu:.1f}% ({1e3 * t_res / (STAGE * K):.2f} ms/step)"
+    )
+
+    # pairs-mode (reference-parity loss) device-resident throughput + MFU
+    from cellulus_tpu.train import make_train_step_fused
+
+    pairs_step_fn = make_train_step_fused(
+        spec, optimizer, tc.temperature, tc.regularizer_weight,
+        dataset.sampler, tc.batch_size, jnp.bfloat16,
+        input_scale=dataset.normalization_factor,
+    )
+    pairs_opt_state = optimizer.init(params)
+    pairs_multi = jax.jit(make_multi_step(pairs_step_fn), donate_argnums=(0, 1))
+    pparams, pairs_opt_state, losses, _ = pairs_multi(
+        jax.tree_util.tree_map(jnp.copy, params), pairs_opt_state, raw_K, keys
+    )
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    for c in range(STAGE):
+        pparams, pairs_opt_state, losses, _ = pairs_multi(
+            pparams, pairs_opt_state, raw_K, keys
+        )
+    jax.block_until_ready(losses)
+    t_pairs = time.perf_counter() - t0
+    pairs_sps = STAGE * K * tc.batch_size / t_pairs
+    pairs_mfu = step_flops * STAGE * K / t_pairs / peak_flops
+    del pparams, pairs_opt_state
+    log(
+        f"train pairs-mode (device-resident): {pairs_sps:.2f} samples/s/chip, "
+        f"MFU {100 * pairs_mfu:.1f}% ({1e3 * t_pairs / (STAGE * K):.2f} ms/step)"
+    )
 
     # ---- timed inference: predict + detect + segment ---------------------
     raw_all = np.asarray(zarr.open(container, "r")["train"][...], np.float32)
-    rng = np.random.default_rng(0)
 
     # warm up compiles out of the timed region (steady-state throughput is
     # the metric; compiles amortize over real workloads)
@@ -179,7 +256,7 @@ def main():
         spec, params, raw_all[0], ic, 1.0 / 255, sample_seed=0,
         compute_dtype=jnp.bfloat16,
     )
-    detect_sample(warm_emb, ic, 2, np.random.default_rng(0))
+    detect_sample(warm_emb, ic, 2, sample_rng(ic.seed, 0))
 
     t0 = time.perf_counter()
     embeddings_all = []
@@ -195,16 +272,19 @@ def main():
     t0 = time.perf_counter()
     detections = []
     for s in range(NUM_SAMPLES):
-        _, _, _, det = detect_sample(embeddings_all[s], ic, 2, rng)
+        _, _, _, det = detect_sample(embeddings_all[s], ic, 2, sample_rng(ic.seed, s))
         detections.append(det[0])
     t_detect = time.perf_counter() - t0
 
-    # warm the morphology kernel, then time
-    remove_halo_device(detections[0], ic.grow_distance, ic.shrink_distance)
+    # warm the fused segment kernel, then time
+    cell_segment_sample(
+        detections[0], ic.grow_distance, ic.shrink_distance, ic.min_size
+    )
     t0 = time.perf_counter()
     for s in range(NUM_SAMPLES):
-        seg = remove_halo_device(detections[s], ic.grow_distance, ic.shrink_distance)
-        size_filter(seg, ic.min_size)
+        cell_segment_sample(
+            detections[s], ic.grow_distance, ic.shrink_distance, ic.min_size
+        )
     t_segment = time.perf_counter() - t0
 
     total = t_predict + t_detect + t_segment
@@ -265,8 +345,19 @@ def main():
             {
                 "metric": "2d_infer_tiles_per_sec_e2e",
                 "value": round(tiles_per_sec, 3),
-                "unit": "tiles/s (236^2 px output tiles; embed+meanshift+segment)",
+                "unit": (
+                    "tiles/s (236^2 px output tiles; embed+meanshift+segment;"
+                    " vs_baseline = reference-style torch on THIS HOST'S CPU,"
+                    " not the A100 north star)"
+                ),
                 "vs_baseline": round(vs_baseline, 2),
+                "staged_tiles_per_sec": round(n_tiles / total, 3),
+                "pipelined_tiles_per_sec": round(tiles_per_sec_piped, 3),
+                "train_samples_per_sec_chip_streaming": round(train_sps, 2),
+                "train_samples_per_sec_chip_device_resident": round(res_sps, 2),
+                "train_mfu_pct_grid": round(100 * res_mfu, 2),
+                "train_mfu_pct_pairs": round(100 * pairs_mfu, 2),
+                "train_samples_per_sec_chip_pairs": round(pairs_sps, 2),
             }
         )
     )

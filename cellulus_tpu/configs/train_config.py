@@ -56,7 +56,23 @@ class TrainConfig:
             or "dense" (EXPERIMENTAL gather-free
             shifted-field estimator: same expectation but offsets shared
             across anchors make gradients ~10x noisier — observed to stall
-            training; kept for research).
+            training; kept for research, train() warns loudly).
+        steps_per_dispatch: [tpu extension] Steps fused into one device
+            dispatch via ``lax.scan`` (amortizes per-dispatch host latency).
+            With K > 1, checkpoints/snapshots land on the chunk boundary at
+            or after their configured iteration; loss logging stays
+            per-iteration and exact. 1 (default) = reference-exact cadence.
+        transfer_precision: [tpu extension] "float32" ships normalized crops;
+            "native" ships crops in the source dtype (e.g. uint8) and
+            normalizes on device — 4x less host->device traffic for uint8
+            data with bit-identical results. Requires elastic_deform=False
+            (deformation interpolates to float on the host anyway).
+        pair_count_mode: [tpu extension] "reference" replicates the
+            reference's anchor-count formula, which uses only the first two
+            spatial dims even in 3D (reference ``zarr_dataset.py:244-245``) —
+            starving 3D crops of pairs; "all_dims" scales anchor count with
+            the full unbiased volume and reference count with the kappa-ball
+            volume.
     """
 
     train_data_config: Optional[DatasetConfig] = None
@@ -83,6 +99,9 @@ class TrainConfig:
     data_parallelism: Optional[int] = None
     device_pair_sampling: bool = True
     loss_mode: str = "pairs"
+    steps_per_dispatch: int = 1
+    transfer_precision: str = "float32"
+    pair_count_mode: str = "reference"
 
     def __post_init__(self) -> None:
         self.train_data_config = as_config(DatasetConfig, self.train_data_config)
@@ -102,3 +121,10 @@ class TrainConfig:
             raise ValueError("precision must be 'float32' or 'bfloat16'")
         if self.loss_mode not in ("pairs", "grid", "dense"):
             raise ValueError("loss_mode must be 'pairs', 'grid' or 'dense'")
+        self.steps_per_dispatch = int(self.steps_per_dispatch)
+        if self.steps_per_dispatch < 1:
+            raise ValueError("steps_per_dispatch must be >= 1")
+        if self.transfer_precision not in ("float32", "native"):
+            raise ValueError("transfer_precision must be 'float32' or 'native'")
+        if self.pair_count_mode not in ("reference", "all_dims"):
+            raise ValueError("pair_count_mode must be 'reference' or 'all_dims'")

@@ -40,11 +40,32 @@ def disk_offsets(radius: float, num_spatial_dims: int) -> np.ndarray:
     return grid[keep].astype(np.int32)
 
 
-def num_anchors(density: float, unbiased_shape: Tuple[int, ...]) -> int:
+def num_anchors(
+    density: float, unbiased_shape: Tuple[int, ...], count_mode: str = "reference"
+) -> int:
+    """Anchors per crop. ``"reference"`` replicates the reference's formula,
+    which uses only the first two dims even in 3D (reference
+    ``zarr_dataset.py:244-245``) — starving 3D crops of pairs by the ratio of
+    the remaining extent; ``"all_dims"`` scales with the full unbiased
+    volume."""
+    if count_mode == "all_dims":
+        return int(density * math.prod(unbiased_shape))
     return int(density * unbiased_shape[0] * unbiased_shape[1])
 
 
-def num_references(density: float, kappa: float) -> int:
+def _ball_volume(radius: float, ndim: int) -> float:
+    return math.pi ** (ndim / 2) / math.gamma(ndim / 2 + 1) * radius**ndim
+
+
+def num_references(
+    density: float, kappa: float, num_spatial_dims: int = 2,
+    count_mode: str = "reference",
+) -> int:
+    """References per anchor: ``density * |kappa-disk|`` in the reference
+    (2D area even in 3D, reference ``zarr_dataset.py:247-248``);
+    ``"all_dims"`` uses the kappa-ball volume of the actual dimensionality."""
+    if count_mode == "all_dims":
+        return int(density * _ball_volume(kappa, num_spatial_dims))
     return int(density * kappa**2 * math.pi)
 
 
@@ -59,6 +80,7 @@ class PairSampler:
     output_shape: Tuple[int, ...]
     density: float
     kappa: float
+    count_mode: str = "reference"
 
     def __post_init__(self):
         self.num_spatial_dims = len(self.output_shape)
@@ -70,8 +92,12 @@ class PairSampler:
                 f"output shape {self.output_shape} too small for kappa="
                 f"{self.kappa}"
             )
-        self.n_anchors = num_anchors(self.density, self.unbiased_shape)
-        self.n_references = num_references(self.density, self.kappa)
+        self.n_anchors = num_anchors(
+            self.density, self.unbiased_shape, self.count_mode
+        )
+        self.n_references = num_references(
+            self.density, self.kappa, self.num_spatial_dims, self.count_mode
+        )
         if self.n_anchors < 1 or self.n_references < 1:
             raise ValueError(
                 "density/kappa too small: no pairs would be sampled "

@@ -62,6 +62,8 @@ class ZarrDataset:
         output_shape: Optional[Tuple[int, ...]] = None,
         seed: int = 0,
         sample_pairs: bool = True,
+        normalize: bool = True,
+        pair_count_mode: str = "reference",
     ):
         self.dataset_config = dataset_config
         self.crop_size = tuple(int(c) for c in crop_size)
@@ -93,10 +95,22 @@ class ZarrDataset:
             output_shape = tuple(c - 16 for c in self.crop_size)
         self.output_shape = tuple(int(s) for s in output_shape)
         self.sampler = PairSampler(
-            output_shape=self.output_shape, density=density, kappa=kappa
+            output_shape=self.output_shape,
+            density=density,
+            kappa=kappa,
+            count_mode=pair_count_mode,
         )
         self.seed = seed
         self.sample_pairs = sample_pairs
+        # normalize=False ships crops in the source dtype; the train step
+        # applies normalization_factor on device (transfer_precision="native")
+        self.normalize = normalize
+        if not normalize and elastic_deform:
+            raise ValueError(
+                "normalize=False (native transfer) requires "
+                "elastic_deform=False: deformation interpolates to float on "
+                "the host, so there is nothing to save"
+            )
         self._margin = (
             required_margin(self.crop_size, control_point_jitter)
             if self.elastic
@@ -144,6 +158,8 @@ class ZarrDataset:
                 self.control_point_jitter,
                 rng,
             )
+        if not self.normalize:
+            return crop
         return crop * self.normalization_factor
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
@@ -156,7 +172,7 @@ class ZarrDataset:
         rng = np.random.default_rng(seed)
         while True:
             crop = self._sample_crop(rng)
-            if np.max(crop) <= 0.0:  # reject empty crops
+            if np.max(crop) <= 0:  # reject empty crops
                 continue
             if self.sample_pairs:
                 anchors, references = self.sampler.sample(rng)

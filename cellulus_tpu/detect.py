@@ -25,6 +25,14 @@ from .ops.otsu import threshold_otsu
 from .ops.peaks import peak_local_max
 
 
+def sample_rng(seed: int, sample: int) -> np.random.Generator:
+    """Per-sample RNG stream: detect results for one sample are independent
+    of how many / in which order other samples were processed, so the
+    pipelined path can run samples concurrently and still match the staged
+    path bit-for-bit (tests/test_pipelined_infer.py)."""
+    return np.random.default_rng([int(seed), int(sample)])
+
+
 def _spatial_attrs(meta: DatasetMetaData) -> dict:
     return {
         "axis_names": ["s", "c"] + ["t", "z", "y", "x"][-meta.num_spatial_dims :],
@@ -190,11 +198,13 @@ def detect(inference_config: InferenceConfig) -> None:
     for ds in (ds_detection, ds_binary, ds_centered):
         ds.attrs.update(_spatial_attrs(meta))
 
-    rng = np.random.default_rng(inference_config.seed)
     for sample in range(meta.num_samples):
         embeddings = np.asarray(ds_in[sample], dtype=np.float32)
         threshold, binary_mask, centered, detections = detect_sample(
-            embeddings, inference_config, meta.num_spatial_dims, rng
+            embeddings,
+            inference_config,
+            meta.num_spatial_dims,
+            sample_rng(inference_config.seed, sample),
         )
         print(f"For sample {sample}, binary threshold {threshold} was used.")
         ds_binary[sample, 0] = binary_mask.astype(np.uint16)

@@ -5,6 +5,7 @@ from .unet import (
     UNetSpec,
     forward,
     init_params,
+    model_flops,
     output_spatial_shape,
     select_and_add_coordinates,
     spec_from_config,
@@ -19,6 +20,7 @@ __all__ = [
     "init_params",
     "min_input_size",
     "output_size",
+    "model_flops",
     "output_spatial_shape",
     "select_and_add_coordinates",
     "spec_from_config",

@@ -79,18 +79,33 @@ def spec_from_config(model_config, in_channels: int, num_spatial_dims: int) -> U
 # ---------------------------------------------------------------------------
 
 
-def _init_conv(key, k_size: Tuple[int, ...], c_in: int, c_out: int) -> Params:
-    """Kaiming-normal weights (ReLU gain) + torch-default uniform bias.
+def _init_conv(
+    key, k_size: Tuple[int, ...], c_in: int, c_out: int,
+    scheme: str = "kaiming_normal",
+) -> Params:
+    """Conv weight/bias init.
 
-    Matches the reference init: Kaiming-normal on every conv weight
-    (reference ``train.py:65-68``), biases left at the torch conv default
-    ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))``.
+    ``"kaiming_normal"`` matches the reference's explicit re-init when
+    ``initialize=True`` (reference ``train.py:65-68``). ``"torch_default"``
+    matches the untouched torch Conv init the reference keeps when
+    ``initialize=False``: ``kaiming_uniform_(a=sqrt(5))``, i.e.
+    ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))``. Biases are the torch conv default
+    ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))`` in both schemes.
     """
     wkey, bkey = jax.random.split(key)
     fan_in = c_in * int(np.prod(k_size))
-    std = math.sqrt(2.0 / fan_in)
-    w = jax.random.normal(wkey, (*k_size, c_in, c_out), dtype=jnp.float32) * std
     bound = 1.0 / math.sqrt(fan_in)
+    if scheme == "torch_default":
+        w = jax.random.uniform(
+            wkey, (*k_size, c_in, c_out),
+            minval=-bound, maxval=bound, dtype=jnp.float32,
+        )
+    else:
+        std = math.sqrt(2.0 / fan_in)
+        w = (
+            jax.random.normal(wkey, (*k_size, c_in, c_out), dtype=jnp.float32)
+            * std
+        )
     b = jax.random.uniform(
         bkey, (c_out,), minval=-bound, maxval=bound, dtype=jnp.float32
     )
@@ -102,17 +117,20 @@ def _pass_kernel_sizes(spec: UNetSpec) -> List[Tuple[int, ...]]:
     return [(k,) * d for k in UNetSpec.PASS_KERNELS]
 
 
-def _init_conv_pass(key, spec: UNetSpec, c_in: int, c_out: int) -> Params:
+def _init_conv_pass(
+    key, spec: UNetSpec, c_in: int, c_out: int, scheme: str
+) -> Params:
     params = {}
     keys = jax.random.split(key, len(UNetSpec.PASS_KERNELS))
     for i, k_size in enumerate(_pass_kernel_sizes(spec)):
-        params[f"conv{i}"] = _init_conv(keys[i], k_size, c_in, c_out)
+        params[f"conv{i}"] = _init_conv(keys[i], k_size, c_in, c_out, scheme)
         c_in = c_out
     return params
 
 
-def init_params(key, spec: UNetSpec) -> Params:
-    """Initialize the full parameter pytree."""
+def init_params(key, spec: UNetSpec, scheme: str = "kaiming_normal") -> Params:
+    """Initialize the full parameter pytree (see :func:`_init_conv` for the
+    two schemes; ``train()`` maps ``initialize=False`` to "torch_default")."""
     n_down = spec.num_levels  # conv passes on the down path (incl. bottom)
     n_up = spec.num_levels - 1
     keys = jax.random.split(key, n_down + n_up + 2)
@@ -122,7 +140,7 @@ def init_params(key, spec: UNetSpec) -> Params:
     for level in range(n_down):
         c_out = spec.level_channels(level)
         params["down"][f"level{level}"] = _init_conv_pass(
-            keys[level], spec, c_prev, c_out
+            keys[level], spec, c_prev, c_out, scheme
         )
         c_prev = c_out
 
@@ -133,13 +151,15 @@ def init_params(key, spec: UNetSpec) -> Params:
             spec.features_in_last_layer if level == 0 else spec.level_channels(level)
         )
         params["up"][f"level{level}"] = _init_conv_pass(
-            keys[n_down + idx], spec, c_skip + c_up, c_out
+            keys[n_down + idx], spec, c_skip + c_up, c_out, scheme
         )
 
     fil = spec.features_in_last_layer
     d = spec.num_spatial_dims
-    params["head"]["conv0"] = _init_conv(keys[-2], (1,) * d, fil, fil)
-    params["head"]["conv1"] = _init_conv(keys[-1], (1,) * d, fil, spec.out_channels)
+    params["head"]["conv0"] = _init_conv(keys[-2], (1,) * d, fil, fil, scheme)
+    params["head"]["conv1"] = _init_conv(
+        keys[-1], (1,) * d, fil, spec.out_channels, scheme
+    )
     return params
 
 
@@ -254,6 +274,50 @@ def output_spatial_shape(
     spec: UNetSpec, input_spatial: Sequence[int]
 ) -> Tuple[int, ...]:
     return compute_geometry(input_spatial, spec.downsampling_factors).output_size
+
+
+def model_flops(spec: UNetSpec, input_spatial: Sequence[int]) -> int:
+    """Forward-pass FLOPs per sample (2 * MACs of every conv), walking the
+    same shape arithmetic as :func:`forward`. Used for MFU reporting:
+    a train step is ~3x forward (forward + activation grads + weight grads).
+    """
+    ndim = spec.num_spatial_dims
+    flops = 0
+
+    def conv_pass(spatial, c_in, c_out):
+        nonlocal flops
+        for k in UNetSpec.PASS_KERNELS:
+            spatial = [s - (k - 1) for s in spatial]
+            flops += 2 * math.prod(spatial) * k**ndim * c_in * c_out
+            c_in = c_out
+        return spatial
+
+    x = list(input_spatial)
+    c_prev = spec.in_channels
+    skips = []
+    for level in range(spec.num_levels - 1):
+        x = conv_pass(x, c_prev, spec.level_channels(level))
+        c_prev = spec.level_channels(level)
+        skips.append(x)
+        x = [s // f for s, f in zip(x, spec.downsampling_factors[level])]
+
+    x = conv_pass(x, c_prev, spec.level_channels(spec.num_levels - 1))
+
+    for level in reversed(range(spec.num_levels - 1)):
+        x = [s * f for s, f in zip(x, spec.downsampling_factors[level])]
+        c_skip = spec.level_channels(level)
+        c_up = spec.level_channels(level + 1)
+        c_out = (
+            spec.features_in_last_layer
+            if level == 0
+            else spec.level_channels(level)
+        )
+        x = conv_pass(x, c_skip + c_up, c_out)
+
+    fil = spec.features_in_last_layer
+    flops += 2 * math.prod(x) * fil * fil
+    flops += 2 * math.prod(x) * fil * spec.out_channels
+    return flops
 
 
 # ---------------------------------------------------------------------------

@@ -47,55 +47,93 @@ def label_host(array: np.ndarray) -> np.ndarray:
     return out
 
 
-@lru_cache(maxsize=None)
-def _cc_kernel(shape: tuple, jump_steps: int = 2):
-    """Jitted connected-components parent-pointer kernel for one shape.
+def cc_parents(values, jump_steps: int = 1):
+    """Traceable connected-components body: ``values (int32, *shape) ->
+    parents (int32, *shape)`` where background pixels map to the sentinel
+    ``N = prod(shape)`` and every foreground pixel maps to its component's
+    minimum flat index. Composable inside larger jitted programs.
 
-    Returns a function ``values (int32, *shape) -> parents (int32, *shape)``
-    where background pixels map to the sentinel ``N = prod(shape)`` and every
-    foreground pixel maps to its component's minimum flat index.
+    Each round propagates the running minimum (a) along entire equal-value
+    RUNS per axis via segmented min-scans (``lax.associative_scan``,
+    O(log n) depth — a straight run of any length resolves in one round,
+    vs one pixel per round for plain neighbor propagation), (b) across
+    diagonal neighbors, then (c) through one pointer-jumping step
+    (``p <- p[p]``). Rounds needed ~ number of "turns" in the most serpentine
+    component, not its diameter.
     """
     import jax
     import jax.numpy as jnp
 
+    shape = values.shape
     ndim = len(shape)
     N = math.prod(shape)
-    offsets = [
+    # diagonal-ish shifts: >= 2 non-center components (axis-aligned ones are
+    # covered by the segmented scans); pad-slice offsets in {0,1,2}^D
+    diag_offsets = [
         off
         for off in np.ndindex(*(3,) * ndim)
-        if any(o != 1 for o in off)
-    ]  # 3^D - 1 neighbor shifts, as pad-slice offsets in {0,1,2}^D
+        if sum(o != 1 for o in off) >= 2
+    ]
 
-    def run(values):
-        idx = jnp.arange(N, dtype=jnp.int32).reshape(shape)
-        mask = values != 0
-        parent0 = jnp.where(mask, idx, N)
-        v_pad = jnp.pad(values, 1, constant_values=0)
+    idx = jnp.arange(N, dtype=jnp.int32).reshape(shape)
+    mask = values != 0
+    parent0 = jnp.where(mask, idx, N)
+    v_pad = jnp.pad(values, 1, constant_values=0)
 
-        def neighbor_min(parent):
-            p_pad = jnp.pad(parent, 1, constant_values=N)
-            best = parent
-            for off in offsets:
-                sl = tuple(slice(o, o + s) for o, s in zip(off, shape))
-                same = (v_pad[sl] == values) & mask
-                best = jnp.where(same, jnp.minimum(best, p_pad[sl]), best)
-            return best
+    def seg_op(a, b):
+        # segmented-min semigroup: (flagB & flagA, flagB ? min : valB)
+        fa, va = a
+        fb, vb = b
+        return fa & fb, jnp.where(fb, jnp.minimum(va, vb), vb)
 
-        def body(state):
-            parent, _ = state
-            p = neighbor_min(parent)
-            # pointer jumping: p <- p[p] (flat gather; sentinel row appended)
-            for _ in range(jump_steps):
-                pf = jnp.concatenate([p.ravel(), jnp.full((1,), N, jnp.int32)])
-                p = pf[p]
-            return p, jnp.any(p != parent)
+    def shifted_equal(axis, forward):
+        """same[i] = values[i] == values[i -/+ 1] (and both foreground)."""
+        off = [1] * ndim
+        off[axis] = 0 if forward else 2
+        sl = tuple(slice(o, o + s) for o, s in zip(off, shape))
+        return (v_pad[sl] == values) & mask
 
-        parent, _ = jax.lax.while_loop(
-            lambda s: s[1], body, (parent0, jnp.bool_(True))
-        )
-        return parent
+    def axis_scans(p):
+        for axis in range(ndim):
+            same_f = shifted_equal(axis, True)
+            _, p = jax.lax.associative_scan(seg_op, (same_f, p), axis=axis)
+            same_b = shifted_equal(axis, False)
+            _, p = jax.lax.associative_scan(
+                seg_op, (same_b, p), axis=axis, reverse=True
+            )
+        return p
 
-    return jax.jit(run)
+    def diag_min(parent):
+        p_pad = jnp.pad(parent, 1, constant_values=N)
+        best = parent
+        for off in diag_offsets:
+            sl = tuple(slice(o, o + s) for o, s in zip(off, shape))
+            same = (v_pad[sl] == values) & mask
+            best = jnp.where(same, jnp.minimum(best, p_pad[sl]), best)
+        return best
+
+    def body(state):
+        parent, _ = state
+        p = axis_scans(parent)
+        p = diag_min(p)
+        # pointer jumping: p <- p[p] (flat gather; sentinel row appended)
+        for _ in range(jump_steps):
+            pf = jnp.concatenate([p.ravel(), jnp.full((1,), N, jnp.int32)])
+            p = pf[p]
+        return p, jnp.any(p != parent)
+
+    parent, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (parent0, jnp.bool_(True))
+    )
+    return parent
+
+
+@lru_cache(maxsize=None)
+def _cc_kernel(shape: tuple, jump_steps: int = 2):
+    """Jitted :func:`cc_parents` for one shape."""
+    import jax
+
+    return jax.jit(partial(cc_parents, jump_steps=jump_steps))
 
 
 def _relabel_from_parents(
@@ -133,6 +171,22 @@ def label(array: np.ndarray) -> np.ndarray:
     return labels_flat.reshape(array.shape)
 
 
+def filter_relabel_from_parents(
+    values_flat: np.ndarray, parents_flat: np.ndarray, min_size: int
+) -> np.ndarray:
+    """Host epilogue of :func:`size_filter` for precomputed parents: drop
+    components below ``min_size`` pixels and relabel survivors consecutively
+    (order preserved = ``label()`` of the filtered image). ``values_flat``
+    only needs to be correct at root indices (``values[parents]`` works)."""
+    labels_flat, sizes, _ = _relabel_from_parents(
+        values_flat, parents_flat, len(parents_flat)
+    )
+    keep = sizes >= min_size
+    remap = np.zeros(len(sizes) + 1, np.int32)
+    remap[1:][keep] = np.arange(1, int(keep.sum()) + 1, dtype=np.int32)
+    return remap[labels_flat]
+
+
 def size_filter(
     segmentation: np.ndarray, min_size: int, filter_non_connected: bool = True
 ) -> np.ndarray:
@@ -150,23 +204,22 @@ def size_filter(
 
     values = np.ascontiguousarray(segmentation, dtype=np.int32)
     parents = np.asarray(_cc_kernel(values.shape)(values)).ravel()
-    labels_flat, sizes, _ = _relabel_from_parents(
-        values.ravel(), parents, values.size
-    )
 
     if filter_non_connected:
-        keep = sizes >= min_size
-    else:
-        # sizes per ORIGINAL id decide survival; components inherit their
-        # id's verdict
-        ids, id_sizes = np.unique(values[values != 0], return_counts=True)
-        id_keep = dict(zip(ids.tolist(), (id_sizes >= min_size).tolist()))
-        _, _, comp_ids = _relabel_from_parents(
-            values.ravel(), parents, values.size
-        )
-        keep = np.fromiter(
-            (id_keep[int(i)] for i in comp_ids), bool, len(comp_ids)
-        )
+        return filter_relabel_from_parents(
+            values.ravel(), parents, min_size
+        ).reshape(segmentation.shape)
+
+    # filter_non_connected=False: sizes per ORIGINAL id decide survival;
+    # components inherit their id's verdict
+    labels_flat, sizes, comp_ids = _relabel_from_parents(
+        values.ravel(), parents, values.size
+    )
+    ids, id_sizes = np.unique(values[values != 0], return_counts=True)
+    id_keep = dict(zip(ids.tolist(), (id_sizes >= min_size).tolist()))
+    keep = np.fromiter(
+        (id_keep[int(i)] for i in comp_ids), bool, len(comp_ids)
+    )
 
     # map: dropped -> 0, survivors -> consecutive ranks (order preserved,
     # which matches label() on the filtered image)

@@ -45,8 +45,7 @@ def bin_seeds(X: np.ndarray, bin_size: float, min_bin_freq: int = 1) -> np.ndarr
     return (uniq[counts >= min_bin_freq] * bin_size).astype(X.dtype)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "chunk", "use_pallas"))
-def _fit_kernel(
+def _fit_impl(
     X: jnp.ndarray,  # (N, d) zero-padded
     x_valid: jnp.ndarray,  # (N,) bool
     seeds: jnp.ndarray,  # (S, d) zero-padded
@@ -163,8 +162,12 @@ def _fit_kernel(
     return sc, unique
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _predict_kernel(
+_fit_kernel = jax.jit(
+    _fit_impl, static_argnames=("max_iter", "chunk", "use_pallas")
+)
+
+
+def _predict_impl(
     X: jnp.ndarray,  # (N, d) zero-padded
     centers: jnp.ndarray,  # (S, d)
     center_valid: jnp.ndarray,  # (S,)
@@ -197,6 +200,37 @@ def _predict_kernel(
 
     labels0 = jnp.full((N,), -1, jnp.int32)
     return jax.lax.fori_loop(0, n_chunks, body, labels0)
+
+
+_predict_kernel = jax.jit(_predict_impl, static_argnames=("chunk",))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iter", "chunk_fit", "chunk_pred", "use_pallas"),
+)
+def _fit_predict_kernel(
+    X_fit: jnp.ndarray,  # (Nf, d) zero-padded
+    fit_valid: jnp.ndarray,  # (Nf,)
+    seeds: jnp.ndarray,  # (S, d) zero-padded
+    s_valid: jnp.ndarray,  # (S,)
+    X_all: jnp.ndarray,  # (N, d) zero-padded
+    bandwidth: jnp.ndarray,
+    max_iter: int,
+    chunk_fit: int,
+    chunk_pred: int,
+    use_pallas: bool = False,
+):
+    """Fused fit + predict: ONE device dispatch per clustering problem
+    (the staged kernels cost two tunnel round-trips each; VERDICT round 1
+    item 2). Returns ``labels + 1`` as uint16 — background/orphans are 0 —
+    halving the device->host label transfer."""
+    centers, valid = _fit_impl(
+        X_fit, fit_valid, seeds, s_valid, bandwidth, max_iter, chunk_fit,
+        use_pallas,
+    )
+    labels = _predict_impl(X_all, centers, valid, bandwidth, chunk_pred)
+    return (labels + 1).astype(jnp.uint16)
 
 
 def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
@@ -254,30 +288,24 @@ def mean_shift_fit_predict(
     chunk = max(256, min(16384, (1 << 26) // S_pad, N_pad))
     while N_pad % chunk:
         chunk //= 2
-
-    centers, valid = _fit_kernel(
-        jnp.asarray(_pad_rows(X_fit, N_pad)),
-        jnp.asarray(_pad_rows(np.ones(len(X_fit), bool), N_pad)),
-        jnp.asarray(_pad_rows(seeds, S_pad)),
-        jnp.asarray(_pad_rows(np.ones(len(seeds), bool), S_pad)),
-        jnp.float32(bandwidth),
-        max_iter,
-        chunk,
-        use_pallas=_use_pallas(),
-    )
-
     Np_pad = _next_pow2(max(n, 256))
     chunk_p = max(256, min(16384, (1 << 26) // S_pad, Np_pad))
     while Np_pad % chunk_p:
         chunk_p //= 2
-    labels = _predict_kernel(
+
+    labels_u16 = _fit_predict_kernel(
+        jnp.asarray(_pad_rows(X_fit, N_pad)),
+        jnp.asarray(_pad_rows(np.ones(len(X_fit), bool), N_pad)),
+        jnp.asarray(_pad_rows(seeds, S_pad)),
+        jnp.asarray(_pad_rows(np.ones(len(seeds), bool), S_pad)),
         jnp.asarray(_pad_rows(X, Np_pad)),
-        centers,
-        valid,
         jnp.float32(bandwidth),
-        chunk_p,
+        max_iter=max_iter,
+        chunk_fit=chunk,
+        chunk_pred=chunk_p,
+        use_pallas=_use_pallas(),
     )
-    return np.asarray(labels[:n])
+    return np.asarray(labels_u16[:n]).astype(np.int32) - 1
 
 
 def mean_shift_sweep_fit_predict(
@@ -326,26 +354,28 @@ def mean_shift_sweep_fit_predict(
 
     X_pad = jnp.asarray(_pad_rows(X_fit, N_pad))
     x_valid = jnp.asarray(_pad_rows(np.ones(len(X_fit), bool), N_pad))
-    fit_one = partial(
-        _fit_kernel, max_iter=max_iter, chunk=chunk, use_pallas=False
-    )
-    centers, valid = jax.vmap(
-        lambda s, sv, bw: fit_one(X_pad, x_valid, s, sv, bw)
-    )(
-        jnp.asarray(seeds_arr),
-        jnp.asarray(seeds_valid),
-        jnp.asarray(bandwidths, jnp.float32),
-    )
-
     Np_pad = _next_pow2(max(n, 512))
     chunk_p = max(256, min(16384, (1 << 26) // S_pad, Np_pad))
     while Np_pad % chunk_p:
         chunk_p //= 2
     X_all = jnp.asarray(_pad_rows(X, Np_pad))
-    labels = jax.vmap(
-        lambda c, v, bw: _predict_kernel(X_all, c, v, bw, chunk_p)
-    )(centers, valid, jnp.asarray(bandwidths, jnp.float32))
-    return np.asarray(labels[:, :n])
+
+    # the K clustering problems fit AND predict as one vmapped dispatch
+    sweep = jax.jit(
+        jax.vmap(
+            lambda s, sv, bw: _fit_predict_kernel(
+                X_pad, x_valid, s, sv, X_all, bw,
+                max_iter=max_iter, chunk_fit=chunk, chunk_pred=chunk_p,
+                use_pallas=False,
+            )
+        )
+    )
+    labels_u16 = sweep(
+        jnp.asarray(seeds_arr),
+        jnp.asarray(seeds_valid),
+        jnp.asarray(bandwidths, jnp.float32),
+    )
+    return np.asarray(labels_u16[:, :n]).astype(np.int32) - 1
 
 
 # ---------------------------------------------------------------------------

@@ -32,8 +32,11 @@ def disk_kernel(radius: float, ndim: int) -> np.ndarray:
     return ((grid**2).sum(axis=0) < radius**2).astype(np.float32)
 
 
-@lru_cache(maxsize=None)
-def _halo_removal_fn(grow_distance: float, shrink_distance: float, ndim: int):
+def halo_removal_body(
+    segmentation, grow_distance: float, shrink_distance: float
+):
+    """Traceable grow/shrink halo removal (composable inside larger jits)."""
+    ndim = segmentation.ndim
     grow_k = jnp.asarray(disk_kernel(grow_distance, ndim))
     shrink_k = jnp.asarray(disk_kernel(shrink_distance, ndim))
 
@@ -50,25 +53,32 @@ def _halo_removal_fn(grow_distance: float, shrink_distance: float, ndim: int):
         )
         return out[0, ..., 0]
 
+    fg = (segmentation > 0).astype(jnp.float32)
+    # out-of-array is neither foreground nor background: pad with 0s for
+    # the dilation (not fg) and pad ~expanded with 0s for the erosion
+    # (outside doesn't count as background either). scipy's EDT leaves
+    # the all-foreground case undefined (garbage distances); here it is
+    # defined as distance = inf, i.e. nothing is removed.
+    rg = (grow_k.shape[0] - 1) // 2
+    expanded = (
+        conv_valid(jnp.pad(fg, rg, constant_values=0.0), grow_k) > 0.5
+    )
+    rs = (shrink_k.shape[0] - 1) // 2
+    not_expanded = 1.0 - expanded.astype(jnp.float32)
+    near_background = (
+        conv_valid(jnp.pad(not_expanded, rs, constant_values=0.0), shrink_k)
+        > 0.5
+    )
+    return jnp.where(near_background, 0, segmentation)
+
+
+@lru_cache(maxsize=None)
+def _halo_removal_fn(grow_distance: float, shrink_distance: float, ndim: int):
+    del ndim  # shape-inferred by the body; kept for cache-key stability
+
     @jax.jit
     def run(segmentation):
-        fg = (segmentation > 0).astype(jnp.float32)
-        # out-of-array is neither foreground nor background: pad with 0s for
-        # the dilation (not fg) and pad ~expanded with 0s for the erosion
-        # (outside doesn't count as background either). scipy's EDT leaves
-        # the all-foreground case undefined (garbage distances); here it is
-        # defined as distance = inf, i.e. nothing is removed.
-        rg = (grow_k.shape[0] - 1) // 2
-        expanded = (
-            conv_valid(jnp.pad(fg, rg, constant_values=0.0), grow_k) > 0.5
-        )
-        rs = (shrink_k.shape[0] - 1) // 2
-        not_expanded = 1.0 - expanded.astype(jnp.float32)
-        near_background = (
-            conv_valid(jnp.pad(not_expanded, rs, constant_values=0.0), shrink_k)
-            > 0.5
-        )
-        return jnp.where(near_background, 0, segmentation)
+        return halo_removal_body(segmentation, grow_distance, shrink_distance)
 
     return run
 

@@ -47,5 +47,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Axis 1 (batch) sharded over ``data``; axis 0 is the scan/step axis
+    (used by steps_per_dispatch K-stacked inputs)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

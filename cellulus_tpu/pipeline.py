@@ -22,13 +22,12 @@ import concurrent.futures
 import numpy as np
 
 from .configs import InferenceConfig
-from .detect import _spatial_attrs, detect_sample
+from .detect import _spatial_attrs, detect_sample, sample_rng
 from .io import DatasetMetaData, zarr
 from .io.regions import read_reflect_region
 from .ops.components import size_filter
-from .ops.morphology import remove_halo_device
 from .predict import predict_sample
-from .segment import nucleus_partition
+from .segment import cell_segment_sample, nucleus_partition
 
 
 def infer_pipelined(
@@ -37,10 +36,19 @@ def infer_pipelined(
     inference_config: InferenceConfig,
     normalization_factor: float,
     compute_dtype,
+    num_stage_workers: int = 2,
 ) -> None:
+    import jax
+
     ic = inference_config
     meta = DatasetMetaData.from_dataset_config(ic.dataset_config)
     D = meta.num_spatial_dims
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
 
     raw_container = zarr.open(ic.dataset_config.container_path, "r")
     raw_ds = raw_container[ic.dataset_config.dataset_name]
@@ -92,12 +100,12 @@ def infer_pipelined(
     if ic.post_processing == "nucleus":
         raw_for_nucleus = raw_ds
 
-    rng = np.random.default_rng(ic.seed)
-
     def process_sample(sample: int, embeddings: np.ndarray) -> None:
-        """detect + segment one sample (runs in the worker thread)."""
+        """detect + segment one sample (runs in a worker thread; the
+        per-sample RNG stream keeps results identical to the staged path
+        regardless of worker scheduling)."""
         threshold, binary_mask, centered, detections = detect_sample(
-            embeddings, ic, D, rng
+            embeddings, ic, D, sample_rng(ic.seed, sample)
         )
         print(f"For sample {sample}, binary threshold {threshold} was used.")
         ds_binary[sample, 0] = binary_mask.astype(np.uint16)
@@ -105,17 +113,23 @@ def infer_pipelined(
         ds_detection[sample] = detections
         for k in range(ic.num_bandwidths):
             if ic.post_processing == "cell":
-                seg = remove_halo_device(
-                    detections[k], ic.grow_distance, ic.shrink_distance
+                seg = cell_segment_sample(
+                    detections[k], ic.grow_distance, ic.shrink_distance,
+                    ic.min_size,
                 )
             else:
                 raw_image = np.asarray(raw_for_nucleus[sample, 0])
                 seg = nucleus_partition(detections[k], raw_image)
-            ds_seg[sample, k] = size_filter(seg, ic.min_size).astype(np.uint16)
+                seg = size_filter(seg, ic.min_size)
+            ds_seg[sample, k] = seg.astype(np.uint16)
 
-    # single writer: overlapping tile writes stay in submission order
+    # single writer: overlapping tile writes stay in submission order;
+    # detect/segment workers can run >1 sample concurrently (per-sample RNG
+    # keeps outputs deterministic; zarr writes are per-array locked)
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as io_pool, \
-            concurrent.futures.ThreadPoolExecutor(max_workers=1) as stage_pool:
+            concurrent.futures.ThreadPoolExecutor(
+                max_workers=max(1, num_stage_workers)
+            ) as stage_pool:
         write_futures = []
         stage_futures = []
 
@@ -155,6 +169,7 @@ def infer_pipelined(
                 sample_seed=sample,
                 compute_dtype=compute_dtype,
                 write_fn=write_fn,
+                mesh=mesh,
                 source=source,
                 spatial=meta.spatial_array,
             )

@@ -46,3 +46,20 @@ def test_remove_halo_random_blobs():
     ref = remove_halo(labeled.astype(np.uint16), 3, 6)
     dev = remove_halo_device(labeled.astype(np.uint16), 3, 6)
     np.testing.assert_array_equal(ref, dev)
+
+
+def test_cell_segment_sample_matches_unfused():
+    """Fused halo-removal + size-filter == remove_halo -> size_filter."""
+    from cellulus_tpu.ops.components import size_filter
+    from cellulus_tpu.segment import cell_segment_sample
+
+    rng = np.random.default_rng(4)
+    seg = (rng.random((56, 61)) > 0.72).astype(np.uint16)
+    from scipy import ndimage as ndi
+
+    labeled, _ = ndi.label(seg)
+    seg = labeled.astype(np.uint16)
+    for min_size in (0, 4, 12):
+        want = size_filter(remove_halo(seg, 3, 6), min_size)
+        got = cell_segment_sample(seg, 3, 6, min_size)
+        np.testing.assert_array_equal(np.asarray(want), got, err_msg=str(min_size))

@@ -1,0 +1,129 @@
+"""Train-loop variants: steps_per_dispatch scan fusion, native transfer,
+init schemes, pair_count_mode."""
+
+import numpy as np
+import pytest
+
+import cellulus_tpu
+from cellulus_tpu.configs import ExperimentConfig
+
+
+def _config(container, max_iterations=6, **train_overrides):
+    train_config = {
+        "batch_size": 2,
+        "crop_size": [36, 36],
+        "kappa": 6.0,
+        "max_iterations": max_iterations,
+        "num_workers": 1,
+        "elastic_deform": False,
+        "loss_mode": "grid",
+        "save_model_every": 1000,
+        "save_best_model_every": 1000,
+        "save_snapshot_every": 1000,
+        "train_data_config": {
+            "container_path": str(container),
+            "dataset_name": "train",
+        },
+    }
+    train_config.update(train_overrides)
+    return ExperimentConfig(
+        **{
+            "object_size": 10,
+            "model_config": {
+                "num_fmaps": 8,
+                "fmap_inc_factor": 2,
+                "features_in_last_layer": 8,
+            },
+            "train_config": train_config,
+        }
+    )
+
+
+def _losses(state):
+    return state["logger_data"]["loss"]
+
+
+def test_steps_per_dispatch_matches_single_step(
+    blob_container_2d, tmp_path, monkeypatch
+):
+    """K steps fused into one lax.scan dispatch produce the same per-step
+    losses as K separate dispatches (same batches, same fold_in keys)."""
+    monkeypatch.chdir(tmp_path)
+    s1 = cellulus_tpu.train(_config(blob_container_2d))
+    s3 = cellulus_tpu.train(_config(blob_container_2d, steps_per_dispatch=3))
+    np.testing.assert_allclose(_losses(s1), _losses(s3), rtol=1e-5)
+
+
+def test_native_transfer_bit_identical(blob_container_2d, tmp_path, monkeypatch):
+    """Shipping uint8 crops + normalizing on device == shipping normalized
+    float32 crops (scalar multiply commutes with the transfer)."""
+    monkeypatch.chdir(tmp_path)
+    a = cellulus_tpu.train(_config(blob_container_2d))
+    b = cellulus_tpu.train(
+        _config(blob_container_2d, transfer_precision="native")
+    )
+    np.testing.assert_allclose(_losses(a), _losses(b), rtol=1e-6)
+
+
+def test_native_transfer_rejects_elastic(blob_container_2d, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError, match="elastic"):
+        cellulus_tpu.train(
+            _config(
+                blob_container_2d,
+                transfer_precision="native",
+                elastic_deform=True,
+            )
+        )
+
+
+def test_initialize_false_uses_torch_default_init(
+    blob_container_2d, tmp_path, monkeypatch
+):
+    """initialize=False -> torch-default Kaiming-uniform(a=sqrt(5)) weights
+    (bounded by 1/sqrt(fan_in)), not Kaiming-normal (reference
+    train.py:65-68 keeps the torch init in that case)."""
+    monkeypatch.chdir(tmp_path)
+    config = _config(blob_container_2d, max_iterations=1)
+    config.model_config.initialize = False
+    state = cellulus_tpu.train(config)
+    w = np.asarray(state["params"]["down"]["level0"]["conv1"]["w"])
+    fan_in = w.shape[0] * w.shape[1] * w.shape[2]
+    assert np.abs(w).max() <= 1.0 / np.sqrt(fan_in) + 1e-6
+
+    config2 = _config(blob_container_2d, max_iterations=1)
+    state2 = cellulus_tpu.train(config2)
+    w2 = np.asarray(state2["params"]["down"]["level0"]["conv1"]["w"])
+    # kaiming-normal exceeds the uniform bound with overwhelming probability
+    assert np.abs(w2).max() > 1.0 / np.sqrt(fan_in)
+
+
+def test_dense_mode_warns(blob_container_2d, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with pytest.warns(UserWarning, match="dense"):
+        cellulus_tpu.train(
+            _config(blob_container_2d, max_iterations=1, loss_mode="dense")
+        )
+
+
+def test_pair_count_mode_all_dims_3d():
+    """all_dims scales anchors with the full unbiased volume and references
+    with the kappa-ball volume (the reference formula uses only 2 dims,
+    reference zarr_dataset.py:244-248)."""
+    from cellulus_tpu.datasets import PairSampler
+
+    ref = PairSampler(output_shape=(32, 32, 32), density=0.1, kappa=6.0)
+    alld = PairSampler(
+        output_shape=(32, 32, 32), density=0.1, kappa=6.0,
+        count_mode="all_dims",
+    )
+    assert ref.n_anchors == int(0.1 * 20 * 20)
+    assert alld.n_anchors == int(0.1 * 20 * 20 * 20)
+    assert ref.n_references == int(0.1 * np.pi * 36)
+    assert alld.n_references == int(0.1 * 4.0 / 3.0 * np.pi * 216)
+    # 2D: both modes agree with the reference formula
+    a = PairSampler(output_shape=(40, 40), density=0.1, kappa=6.0)
+    b = PairSampler(
+        output_shape=(40, 40), density=0.1, kappa=6.0, count_mode="all_dims"
+    )
+    assert (a.n_anchors, a.n_references) == (b.n_anchors, b.n_references)
