@@ -108,12 +108,24 @@ def detect_sample(
         if mask.sum() == 0:
             return threshold, binary_mask, centered, detections
         X = absolute.reshape(num_spatial_dims, -1).T[mask.ravel()]
+        # shard the bandwidth sweep over the device mesh when K divides it
+        mesh = None
+        import jax
+
+        if (
+            len(jax.devices()) > 1
+            and inference_config.num_bandwidths % len(jax.devices()) == 0
+        ):
+            from .parallel import make_mesh
+
+            mesh = make_mesh()
         labels = mean_shift_sweep_fit_predict(
             X,
             bandwidths,
             reduction_probability=inference_config.reduction_probability,
             max_iter=inference_config.mean_shift_max_iterations,
             rng=rng,
+            mesh=mesh,
         )
         for k in range(inference_config.num_bandwidths):
             spatial = np.full(mask.shape, -1, np.int32)

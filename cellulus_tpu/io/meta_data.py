@@ -42,11 +42,16 @@ class DatasetMetaData:
                 self.channel_dim = dim
                 self.num_channels = shape[dim]
             elif name == "t":
-                # time counts as a spatial(-like) dim but carries no extent
-                # in spatial_array (matches the reference semantics,
-                # reference meta_data.py:24-27)
+                # time is a full spatial-like axis: it counts toward
+                # num_spatial_dims AND contributes its extent, so movies
+                # train/infer as (t, y, x) pseudo-3D volumes. The reference
+                # counts t as spatial but DROPS its extent from
+                # spatial_array (reference meta_data.py:25-27), leaving
+                # crop/model dimensionality inconsistent — a deliberate
+                # divergence, documented in docs/configuration.md.
                 self.num_spatial_dims += 1
                 self.time_dim = dim
+                self.spatial_array += (shape[dim],)
             elif name in ("z", "y", "x"):
                 self.num_spatial_dims += 1
                 self.spatial_array += (shape[dim],)

@@ -240,11 +240,14 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
 
 
 def _use_pallas() -> bool:
-    """Pallas fit kernel on TPU by default (CELLULUS_TPU_NO_PALLAS=1 turns
-    it off); the XLA path elsewhere."""
+    """Pallas fit kernel is OPT-IN (CELLULUS_TPU_PALLAS=1): on trained
+    embeddings at bench scale the XLA chunked-matmul fit measured ~2.7x
+    faster than the Pallas ball kernel (0.063s vs 0.172s per sample,
+    87k fit points / 256 seeds) — the MXU matmul path wins when S is small.
+    The kernel stays for large-S regimes and as a Pallas reference."""
     import os
 
-    if os.environ.get("CELLULUS_TPU_NO_PALLAS"):
+    if not os.environ.get("CELLULUS_TPU_PALLAS"):
         return False
     try:
         return jax.default_backend() != "cpu"
@@ -314,6 +317,7 @@ def mean_shift_sweep_fit_predict(
     reduction_probability: float = 1.0,
     max_iter: int = 300,
     rng: Optional[np.random.Generator] = None,
+    mesh=None,
 ) -> np.ndarray:
     """Vectorized multi-bandwidth mean shift: fit + predict for K bandwidths
     in ONE vmapped device computation (the K clustering problems share the
@@ -322,6 +326,11 @@ def mean_shift_sweep_fit_predict(
     TPU extension (BASELINE.json config[4]); semantics match per-bandwidth
     :func:`mean_shift_fit_predict` except that all bandwidths share one
     fit subsample draw.
+
+    With ``mesh`` (and K a multiple of the mesh size), the K clustering
+    problems shard over the mesh's ``data`` axis via ``shard_map``: each
+    device fits/predicts its local bandwidths independently (the point set
+    replicates; zero cross-device communication).
     """
     X = np.asarray(X, dtype=np.float32)
     n, d = X.shape
@@ -361,20 +370,36 @@ def mean_shift_sweep_fit_predict(
     X_all = jnp.asarray(_pad_rows(X, Np_pad))
 
     # the K clustering problems fit AND predict as one vmapped dispatch
-    sweep = jax.jit(
-        jax.vmap(
-            lambda s, sv, bw: _fit_predict_kernel(
-                X_pad, x_valid, s, sv, X_all, bw,
-                max_iter=max_iter, chunk_fit=chunk, chunk_pred=chunk_p,
-                use_pallas=False,
-            )
+    vmapped = jax.vmap(
+        lambda s, sv, bw: _fit_predict_kernel(
+            X_pad, x_valid, s, sv, X_all, bw,
+            max_iter=max_iter, chunk_fit=chunk, chunk_pred=chunk_p,
+            use_pallas=False,
         )
     )
-    labels_u16 = sweep(
-        jnp.asarray(seeds_arr),
-        jnp.asarray(seeds_valid),
-        jnp.asarray(bandwidths, jnp.float32),
-    )
+    seeds_j = jnp.asarray(seeds_arr)
+    sv_j = jnp.asarray(seeds_valid)
+    bw_j = jnp.asarray(bandwidths, jnp.float32)
+
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if mesh is not None and n_dev > 1 and K % n_dev == 0:
+        # shard the K bandwidths over the mesh: each device clusters its
+        # local bandwidths independently (point set replicated, no
+        # cross-device communication)
+        from jax.sharding import PartitionSpec as P
+
+        sweep = jax.jit(
+            jax.shard_map(
+                vmapped,
+                mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data")),
+                out_specs=P("data"),
+                check_vma=False,
+            )
+        )
+    else:
+        sweep = jax.jit(vmapped)
+    labels_u16 = sweep(seeds_j, sv_j, bw_j)
     return np.asarray(labels_u16[:, :n]).astype(np.int32) - 1
 
 
