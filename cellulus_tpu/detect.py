@@ -14,6 +14,8 @@ Outputs (matching the reference layouts):
 
 from __future__ import annotations
 
+from functools import lru_cache, partial
+
 import numpy as np
 from scipy.ndimage import gaussian_filter
 
@@ -23,6 +25,167 @@ from .ops.greedy_cluster import greedy_cluster
 from .ops.mean_shift import mean_shift_segmentation
 from .ops.otsu import threshold_otsu
 from .ops.peaks import peak_local_max
+
+
+# ---------------------------------------------------------------------------
+# device-resident mean-shift detect path
+#
+# The default (meanshift, un-seeded) detect keeps the embeddings on device:
+# Otsu threshold, foreground mask and the absolute-coordinate point set are
+# computed in one jitted program; the host only receives the mask (1 B/px),
+# the fit subsample (for sklearn-parity bin seeding) and the final uint16
+# detection — instead of shipping the full (N_fg, D) float32 point set both
+# ways (~7 MB h2d per 944^2 sample on the round-1 path).
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _prep_kernel(spatial: tuple, D: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.otsu import threshold_otsu_jax
+
+    @jax.jit
+    def run(emb, fixed_threshold):
+        # emb: (D+1, *spatial) f32; fixed_threshold: scalar (nan = use Otsu)
+        std = emb[-1]
+        thr = jnp.where(
+            jnp.isnan(fixed_threshold), threshold_otsu_jax(std), fixed_threshold
+        )
+        mask = std < thr
+        absolute = emb[:D]
+        ndim = D
+        for channel in range(ndim):
+            axis = ndim - 1 - channel  # x-first channel order
+            shape = [1] * ndim
+            shape[axis] = spatial[axis]
+            absolute = absolute.at[channel].add(
+                jnp.arange(spatial[axis], dtype=jnp.float32).reshape(shape)
+            )
+        X_all = absolute.reshape(D, -1).T  # (N, D)
+        return thr, mask, X_all
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _gather_kernel():
+    import jax
+
+    @jax.jit
+    def run(X_all, idx):
+        return X_all[idx]
+
+    return run
+
+
+@partial(lru_cache(maxsize=None))
+def _detect_kernel(max_iter: int, chunk_fit: int, chunk_pred: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.mean_shift import _fit_impl, _predict_impl
+
+    @jax.jit
+    def run(X_fit, fit_valid, seeds, s_valid, X_all_pad, mask_flat_pad, bw):
+        centers, valid = _fit_impl(
+            X_fit, fit_valid, seeds, s_valid, bw, max_iter, chunk_fit, False
+        )
+        labels = _predict_impl(X_all_pad, centers, valid, bw, chunk_pred)
+        return jnp.where(mask_flat_pad, labels + 1, 0).astype(jnp.uint16)
+
+    return run
+
+
+def _meanshift_detect_device(
+    embeddings_dev,
+    spatial: tuple,
+    D: int,
+    inference_config: InferenceConfig,
+    rng: np.random.Generator,
+):
+    """Mean-shift detections for all bandwidths from device embeddings.
+
+    Returns ``(threshold, binary_mask (np bool), detections (K, *spatial)
+    uint16)``. Semantics per bandwidth match
+    :func:`..ops.mean_shift.mean_shift_segmentation` (sklearn-parity fit
+    subsample, bin seeding, cluster_all=False orphans); the RNG subsample
+    draw consumes the generator once per bandwidth, like the host path.
+    """
+    import jax.numpy as jnp
+
+    from .ops.mean_shift import _next_pow2, bin_seeds
+
+    ic = inference_config
+    fixed = np.float32(ic.threshold if ic.threshold is not None else np.nan)
+    thr_dev, mask_dev, X_all = _prep_kernel(tuple(spatial), D)(
+        embeddings_dev, fixed
+    )
+    threshold = (
+        ic.threshold if ic.threshold is not None else float(thr_dev)
+    )
+    mask = np.asarray(mask_dev)
+    n = int(mask.sum())
+    N = int(np.prod(spatial))
+
+    detections = np.zeros((ic.num_bandwidths, *spatial), dtype=np.uint16)
+    if n == 0:
+        return threshold, mask, detections
+
+    # pad the full point set once; reused across bandwidths
+    Np_pad = _next_pow2(max(N, 256))
+    X_all_pad = jnp.pad(X_all, ((0, Np_pad - N), (0, 0)))
+    mask_flat_pad = jnp.pad(jnp.asarray(mask_dev).ravel(), (0, Np_pad - N))
+
+    flat_fg = np.flatnonzero(mask.ravel())
+    gather = _gather_kernel()
+
+    for k in range(ic.num_bandwidths):
+        bandwidth = ic.bandwidth / (2**k)
+        if ic.reduction_probability < 1.0:
+            sel = rng.random(n) < ic.reduction_probability
+            fit_idx = flat_fg[sel]
+            if len(fit_idx) == 0:
+                fit_idx = flat_fg
+        else:
+            fit_idx = flat_fg
+        Nf = len(fit_idx)
+        Nf_pad = _next_pow2(max(Nf, 256))
+        idx_pad = np.zeros(Nf_pad, np.int32)
+        idx_pad[:Nf] = fit_idx
+        X_fit = gather(X_all, jnp.asarray(idx_pad))  # (Nf_pad, D) device
+        fit_valid = np.zeros(Nf_pad, bool)
+        fit_valid[:Nf] = True
+
+        seeds = bin_seeds(np.asarray(X_fit[:Nf]), bin_size=bandwidth)
+        if len(seeds) == 0:
+            continue
+        S_pad = _next_pow2(max(len(seeds), 64))
+        seeds_pad = np.zeros((S_pad, D), np.float32)
+        seeds_pad[: len(seeds)] = seeds
+        s_valid = np.zeros(S_pad, bool)
+        s_valid[: len(seeds)] = True
+
+        chunk_fit = max(256, min(1 << 18, (1 << 26) // S_pad, Nf_pad))
+        while Nf_pad % chunk_fit:
+            chunk_fit //= 2
+        chunk_pred = max(256, min(1 << 18, (1 << 26) // S_pad, Np_pad))
+        while Np_pad % chunk_pred:
+            chunk_pred //= 2
+
+        det = _detect_kernel(ic.mean_shift_max_iterations, chunk_fit, chunk_pred)(
+            X_fit,
+            jnp.asarray(fit_valid),
+            jnp.asarray(seeds_pad),
+            jnp.asarray(s_valid),
+            X_all_pad,
+            mask_flat_pad,
+            jnp.float32(bandwidth),
+        )
+        detections[k] = np.asarray(det[:N]).reshape(spatial)
+
+    return threshold, mask, detections
 
 
 def sample_rng(seed: int, sample: int) -> np.random.Generator:
@@ -65,11 +228,15 @@ def detect_sample(
     inference_config: InferenceConfig,
     num_spatial_dims: int,
     rng: np.random.Generator,
+    embeddings_device=None,
 ):
     """Detect instances for one sample.
 
     Args:
         embeddings: ``(D+1, *spatial)``: mean offsets + uncertainty channel.
+        embeddings_device: optional device-resident copy (channels-first);
+            when given (pipelined path), the default mean-shift branch runs
+            without re-uploading the embeddings.
 
     Returns:
         ``(threshold, binary_mask, centered_embeddings,
@@ -77,6 +244,38 @@ def detect_sample(
     """
     embeddings = np.asarray(embeddings, dtype=np.float32)
     embeddings_std = embeddings[-1]
+
+    import os
+
+    if (
+        inference_config.clustering == "meanshift"
+        and not inference_config.use_seeds
+        and not getattr(inference_config, "vectorized_bandwidth_sweep", False)
+        and os.environ.get("CELLULUS_TPU_DEVICE_DETECT")
+    ):
+        # fully device-resident path (CELLULUS_TPU_DEVICE_DETECT=1): otsu +
+        # mask + grid + fit + predict on device; the host receives only the
+        # mask, the fit subsample and the uint16 detections. On directly
+        # attached TPUs this minimizes PCIe traffic; over the tunneled
+        # single chip its several small transfers measured SLOWER than the
+        # host-prep path's one 7 MB point-set upload (0.65 vs 0.37 s/sample,
+        # NOTES.md), so the host path below stays the default here.
+        import jax.numpy as jnp
+
+        emb_dev = (
+            embeddings_device
+            if embeddings_device is not None
+            else jnp.asarray(embeddings)
+        )
+        threshold, binary_mask, detections = _meanshift_detect_device(
+            emb_dev,
+            embeddings_std.shape,
+            num_spatial_dims,
+            inference_config,
+            rng,
+        )
+        centered = mean_center_embeddings(embeddings, binary_mask)
+        return threshold, binary_mask, centered, detections
 
     if inference_config.threshold is None:
         threshold = threshold_otsu(embeddings_std)
@@ -206,11 +405,17 @@ def detect(inference_config: InferenceConfig) -> None:
             *meta.spatial_array,
         ),
         dtype=np.float32,
+        compressor=None,
     )
     for ds in (ds_detection, ds_binary, ds_centered):
         ds.attrs.update(_spatial_attrs(meta))
 
-    for sample in range(meta.num_samples):
+    # samples process concurrently: per-sample RNG streams make results
+    # order-independent, so worker threads overlap one sample's host prep
+    # with another's device compute (zarr writes are per-array locked)
+    import concurrent.futures
+
+    def one(sample: int):
         embeddings = np.asarray(ds_in[sample], dtype=np.float32)
         threshold, binary_mask, centered, detections = detect_sample(
             embeddings,
@@ -218,7 +423,11 @@ def detect(inference_config: InferenceConfig) -> None:
             meta.num_spatial_dims,
             sample_rng(inference_config.seed, sample),
         )
-        print(f"For sample {sample}, binary threshold {threshold} was used.")
         ds_binary[sample, 0] = binary_mask.astype(np.uint16)
         ds_centered[sample] = centered
         ds_detection[sample] = detections
+        return sample, threshold
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+        for sample, threshold in pool.map(one, range(meta.num_samples)):
+            print(f"For sample {sample}, binary threshold {threshold} was used.")

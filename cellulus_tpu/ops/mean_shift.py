@@ -288,11 +288,11 @@ def mean_shift_fit_predict(
 
     N_pad = _next_pow2(max(len(X_fit), 256))
     S_pad = _next_pow2(max(len(seeds), 64))
-    chunk = max(256, min(16384, (1 << 26) // S_pad, N_pad))
+    chunk = max(256, min(1 << 18, (1 << 26) // S_pad, N_pad))
     while N_pad % chunk:
         chunk //= 2
     Np_pad = _next_pow2(max(n, 256))
-    chunk_p = max(256, min(16384, (1 << 26) // S_pad, Np_pad))
+    chunk_p = max(256, min(1 << 18, (1 << 26) // S_pad, Np_pad))
     while Np_pad % chunk_p:
         chunk_p //= 2
 
@@ -351,7 +351,7 @@ def mean_shift_sweep_fit_predict(
     S_max = max(len(s) for s in seeds_list)
     S_pad = _next_pow2(max(S_max, 128))
     N_pad = _next_pow2(max(len(X_fit), 512))
-    chunk = max(256, min(16384, (1 << 26) // S_pad, N_pad))
+    chunk = max(256, min(1 << 18, (1 << 26) // S_pad, N_pad))
     while N_pad % chunk:
         chunk //= 2
 
@@ -364,7 +364,7 @@ def mean_shift_sweep_fit_predict(
     X_pad = jnp.asarray(_pad_rows(X_fit, N_pad))
     x_valid = jnp.asarray(_pad_rows(np.ones(len(X_fit), bool), N_pad))
     Np_pad = _next_pow2(max(n, 512))
-    chunk_p = max(256, min(16384, (1 << 26) // S_pad, Np_pad))
+    chunk_p = max(256, min(1 << 18, (1 << 26) // S_pad, Np_pad))
     while Np_pad % chunk_p:
         chunk_p //= 2
     X_all = jnp.asarray(_pad_rows(X, Np_pad))

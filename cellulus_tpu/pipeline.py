@@ -68,6 +68,7 @@ def infer_pipelined(
         shape=(meta.num_samples, D + 1, *meta.spatial_array),
         dtype=np.float32,
         chunks=(1, D + 1, *out_tile),
+        compressor=None,  # incompressible float payload (see predict.py)
     )
     ds_emb.attrs.update(_spatial_attrs(meta))
 
@@ -86,6 +87,7 @@ def infer_pipelined(
         "centered-embeddings",
         shape=(meta.num_samples, D + 1, *meta.spatial_array),
         dtype=np.float32,
+        compressor=None,
     )
     f_seg = zarr.open(ic.segmentation_dataset_config.container_path, "a")
     ds_seg = f_seg.create_dataset(
@@ -100,12 +102,17 @@ def infer_pipelined(
     if ic.post_processing == "nucleus":
         raw_for_nucleus = raw_ds
 
-    def process_sample(sample: int, embeddings: np.ndarray) -> None:
+    def process_sample(
+        sample: int, embeddings: np.ndarray, embeddings_dev=None
+    ) -> None:
         """detect + segment one sample (runs in a worker thread; the
         per-sample RNG stream keeps results identical to the staged path
-        regardless of worker scheduling)."""
+        regardless of worker scheduling). ``embeddings_dev`` is the
+        device-resident copy assembled during predict — detect consumes it
+        without re-uploading the sample."""
         threshold, binary_mask, centered, detections = detect_sample(
-            embeddings, ic, D, sample_rng(ic.seed, sample)
+            embeddings, ic, D, sample_rng(ic.seed, sample),
+            embeddings_device=embeddings_dev,
         )
         print(f"For sample {sample}, binary threshold {threshold} was used.")
         ds_binary[sample, 0] = binary_mask.astype(np.uint16)
@@ -160,7 +167,13 @@ def infer_pipelined(
                     io_pool.submit(ds_emb.__setitem__, sel, tile_np)
                 )
 
-            predict_sample(
+            # assemble a device-resident copy only when the device detect
+            # path will consume it (otherwise the per-tile updates are
+            # pure dispatch overhead)
+            import os
+
+            want_device = bool(os.environ.get("CELLULUS_TPU_DEVICE_DETECT"))
+            out = predict_sample(
                 spec,
                 params,
                 None,
@@ -172,10 +185,12 @@ def infer_pipelined(
                 mesh=mesh,
                 source=source,
                 spatial=meta.spatial_array,
+                return_device=want_device,
             )
+            emb_dev = out[1] if want_device else None
             # detect/segment this sample while the next sample predicts
             stage_futures.append(
-                stage_pool.submit(process_sample, sample, embeddings)
+                stage_pool.submit(process_sample, sample, embeddings, emb_dev)
             )
 
         for fut in stage_futures + write_futures:

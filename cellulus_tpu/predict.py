@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import itertools
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List, Tuple
 
 import jax
@@ -30,6 +30,20 @@ from .io import DatasetMetaData, zarr
 from .io.regions import read_reflect_region
 from .models import UNetSpec, compute_geometry, tta_embeddings
 from .datasets import normalization_factor_for
+
+
+@lru_cache(maxsize=None)
+def _device_update_kernel(ndim: int):
+    """Jitted tile-into-buffer update (device-side sample assembly)."""
+    import jax
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def upd(buf, tile, origin):
+        # buf (*spatial, D+1), tile (*out_tile, D+1), origin (ndim,) int32
+        start = tuple(origin[d] for d in range(ndim)) + (jnp.int32(0),)
+        return jax.lax.dynamic_update_slice(buf, tile.astype(buf.dtype), start)
+
+    return upd
 
 
 @lru_cache(maxsize=None)
@@ -81,7 +95,8 @@ def predict_sample(
     mesh=None,
     source=None,
     spatial=None,
-) -> np.ndarray:
+    return_device=False,
+):
     """Predict TTA embeddings for one full sample.
 
     Args:
@@ -98,9 +113,15 @@ def predict_sample(
             tile reader with reflect boundary handling (see
             :func:`cellulus_tpu.io.regions.read_reflect_region`).
         spatial: spatial extent; required with ``source``.
+        return_device: also assemble the sample on DEVICE (channels-first
+            ``(D+1, *spatial)`` jax array) via per-tile dynamic updates —
+            the downstream detect stage then needs no re-upload. Returns
+            ``(host_result, device_array)``; the device side is None when
+            the image is smaller than one tile (host fallback).
 
     Returns:
-        ``(D+1, *spatial)`` embeddings (when ``write_fn`` is None).
+        ``(D+1, *spatial)`` embeddings (when ``write_fn`` is None), or a
+        ``(host_result, device_array)`` tuple when ``return_device``.
     """
     crop_size = tuple(inference_config.crop_size)
     geometry = compute_geometry(crop_size, spec.downsampling_factors)
@@ -181,6 +202,15 @@ def predict_sample(
         else np.zeros((D + 1, *spatial), dtype=np.float32)
     )
 
+    # device-side assembly: valid whenever every output tile fits entirely
+    # inside the image (the shingled tiling guarantees this when
+    # spatial >= out_tile in every dim)
+    dev_buf = None
+    dev_upd = None
+    if return_device and all(s_ >= o for s_, o in zip(spatial, out_tile)):
+        dev_buf = jnp.zeros((*spatial, D + 1), jnp.float32)
+        dev_upd = _device_update_kernel(ndim)
+
     def emit(tile_np: np.ndarray, origin: Tuple[int, ...]):
         # crop the written region to the true spatial extent
         sel_out = tuple(
@@ -227,6 +257,11 @@ def predict_sample(
             tiles = np.concatenate([tiles, np.repeat(tiles[-1:], reps, axis=0)])
             keys = jnp.concatenate([keys, jnp.repeat(keys[-1:], reps, axis=0)])
         out = run_batch(jnp.asarray(tiles), keys)  # (T, *out_tile, D+1)
+        if dev_buf is not None:
+            for i, orig in enumerate(batch_origins):
+                dev_buf = dev_upd(
+                    dev_buf, out[i], jnp.asarray(orig, jnp.int32)
+                )
         if pending is not None:
             prev_out, prev_origins = pending
             prev_np = np.moveaxis(np.asarray(prev_out), -1, 1)
@@ -239,6 +274,9 @@ def predict_sample(
         for i, orig in enumerate(prev_origins):
             emit(prev_np[i], orig)
 
+    if return_device:
+        dev = jnp.moveaxis(dev_buf, -1, 0) if dev_buf is not None else None
+        return result, dev
     return result
 
 
@@ -274,6 +312,8 @@ def predict(
         ),
         dtype=np.float32,
         chunks=(1, meta.num_spatial_dims + 1, *out_tile),
+        compressor=None,  # float embeddings are incompressible noise;
+        # zlib-1 would serialize ~10 MB/sample of CPU work on the writer
     )
 
     raw_container = zarr.open(dataset_config.container_path, "r")

@@ -151,15 +151,28 @@ def segment(inference_config: InferenceConfig) -> None:
     )
 
     if inference_config.post_processing == "cell":
-        for sample in range(meta.num_samples):
-            for k in range(inference_config.num_bandwidths):
-                seg = cell_segment_sample(
-                    np.asarray(ds_in[sample, k]),
-                    inference_config.grow_distance,
-                    inference_config.shrink_distance,
-                    inference_config.min_size,
-                )
-                ds_out[sample, k] = seg.astype(np.uint16)
+        # (sample, bandwidth) jobs are independent single-dispatch device
+        # programs; two workers overlap host relabeling with device compute
+        import concurrent.futures
+        import itertools
+
+        def one(job):
+            sample, k = job
+            seg = cell_segment_sample(
+                np.asarray(ds_in[sample, k]),
+                inference_config.grow_distance,
+                inference_config.shrink_distance,
+                inference_config.min_size,
+            )
+            ds_out[sample, k] = seg.astype(np.uint16)
+
+        jobs = list(
+            itertools.product(
+                range(meta.num_samples), range(inference_config.num_bandwidths)
+            )
+        )
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(one, jobs))
     else:  # nucleus
         ds_raw = f[inference_config.dataset_config.dataset_name]
         for sample in range(meta.num_samples):

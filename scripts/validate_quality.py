@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--ndim", type=int, default=2, choices=(2, 3))
     ap.add_argument("--loss-mode", default="pairs", choices=("pairs", "grid", "dense"))
+    ap.add_argument(
+        "--pair-count-mode", default="reference", choices=("reference", "all_dims")
+    )
+    ap.add_argument("--density", type=float, default=None)
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -75,7 +79,16 @@ def main():
                 "batch_size": batch,
                 "kappa": kappa,
                 "loss_mode": args.loss_mode,
-                "density": 0.1 if args.ndim == 2 else 0.3,
+                "pair_count_mode": args.pair_count_mode,
+                # 3D default 0.3 compensates the reference's 2-dim pair
+                # formula; all_dims restores the intended density semantics
+                "density": args.density
+                if args.density is not None
+                else (
+                    0.1
+                    if (args.ndim == 2 or args.pair_count_mode == "all_dims")
+                    else 0.3
+                ),
                 "crop_size": crop,
                 "max_iterations": args.iters,
                 "initial_learning_rate": 4e-4,

@@ -65,3 +65,37 @@ def test_mean_center_excludes_exact_zeros():
     np.testing.assert_allclose(centered[0, 2, 2], -3.0)
     # uncertainty channel untouched
     np.testing.assert_allclose(centered[2], emb[2])
+
+
+def test_device_detect_matches_host_path(monkeypatch):
+    """The device-resident detect path (on-device otsu/mask/grid/predict)
+    equals the host-prep path bit-for-bit when the threshold is fixed
+    (same RNG stream, same fit subsample, same kernels)."""
+    import os
+
+    import numpy as np
+
+    from cellulus_tpu.configs import InferenceConfig
+    from cellulus_tpu.detect import detect_sample
+
+    rng_data = np.random.default_rng(3)
+    D = 2
+    emb = rng_data.normal(0, 5.0, size=(D + 1, 48, 52)).astype(np.float32)
+    emb[-1] = rng_data.random((48, 52)).astype(np.float32)
+
+    ic = InferenceConfig(
+        crop_size=[36, 36],
+        bandwidth=6.0,
+        threshold=0.7,
+        num_bandwidths=2,
+        reduction_probability=0.4,
+    )
+
+    monkeypatch.setenv("CELLULUS_TPU_DEVICE_DETECT", "1")
+    a = detect_sample(emb, ic, D, np.random.default_rng([1, 0]))
+    monkeypatch.delenv("CELLULUS_TPU_DEVICE_DETECT")
+    b = detect_sample(emb, ic, D, np.random.default_rng([1, 0]))
+    assert a[0] == b[0]
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+    np.testing.assert_array_equal(a[3], b[3])
