@@ -229,11 +229,15 @@ def forward(
     params: Params,
     raw: jnp.ndarray,
     compute_dtype=jnp.float32,
+    fused_conv_pass: bool = False,
 ) -> jnp.ndarray:
     """U-Net + head forward pass.
 
     Args:
         raw: batched channels-last input ``(B, *spatial, C_in)``.
+        fused_conv_pass: route 2D conv passes through the fused Pallas
+            kernel (:func:`cellulus_tpu.ops.pallas_conv.conv_pass_2d`) —
+            inference only (the kernel defines no VJP).
 
     Returns:
         Offsets ``(B, *spatial_out, out_channels)``; channel order is
@@ -246,14 +250,24 @@ def forward(
             f"expected (B, *spatial, C) input with {ndim} spatial dims, "
             f"got shape {raw.shape}"
         )
+
+    if fused_conv_pass and ndim == 2:
+        from ..ops.pallas_conv import conv_pass_2d
+
+        def pass_fn(x, p, _ndim, dtype):
+            return conv_pass_2d(x, p, dtype)
+
+    else:
+        pass_fn = _conv_pass
+
     x = raw
     skips = []
     for level in range(spec.num_levels - 1):
-        x = _conv_pass(x, params["down"][f"level{level}"], ndim, compute_dtype)
+        x = pass_fn(x, params["down"][f"level{level}"], ndim, compute_dtype)
         skips.append(x)
         x = _max_pool(x, spec.downsampling_factors[level])
 
-    x = _conv_pass(
+    x = pass_fn(
         x, params["down"][f"level{spec.num_levels - 1}"], ndim, compute_dtype
     )
 
@@ -261,7 +275,7 @@ def forward(
         x = _upsample_nearest(x, spec.downsampling_factors[level])
         skip = _center_crop(skips[level], x.shape[1:-1])
         x = jnp.concatenate([skip, x], axis=-1)
-        x = _conv_pass(x, params["up"][f"level{level}"], ndim, compute_dtype)
+        x = pass_fn(x, params["up"][f"level{level}"], ndim, compute_dtype)
 
     # head: 1x1 -> ReLU -> 1x1 (no trailing activation)
     x = _conv(x, params["head"]["conv0"], ndim, compute_dtype)
@@ -361,6 +375,7 @@ def tta_embeddings(
     p_salt_pepper: float,
     num_infer_iterations: int,
     compute_dtype=jnp.float32,
+    fused_conv_pass: bool = False,
 ) -> jnp.ndarray:
     """Test-time-augmented embeddings for one tile.
 
@@ -387,7 +402,9 @@ def tta_embeddings(
     mask = rnd <= p_salt_pepper
     val = noise_vals.reshape((n,) + (1,) * raw.ndim)
     noisy = jnp.where(mask, val, raw[None])
-    preds = forward(spec, params, noisy, compute_dtype)  # (n, *out, D)
+    preds = forward(
+        spec, params, noisy, compute_dtype, fused_conv_pass=fused_conv_pass
+    )  # (n, *out, D)
     mean = jnp.mean(preds, axis=0)
     std = jnp.std(preds, axis=0)  # ddof=0, matches torch unbiased=False
     std_sum = jnp.sum(std, axis=-1, keepdims=True)

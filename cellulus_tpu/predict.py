@@ -55,6 +55,9 @@ def _batched_tta(
     transfer_dtype=jnp.float32,
 ):
     """Jitted (and cached across samples) batched-TTA tile function."""
+    from .ops.pallas_conv import use_pallas_conv
+
+    fused = use_pallas_conv() and spec.num_spatial_dims == 2
 
     def run(params, tiles, keys):
         def one(tile, key):
@@ -66,6 +69,7 @@ def _batched_tta(
                 p_salt_pepper,
                 num_infer_iterations,
                 compute_dtype,
+                fused_conv_pass=fused,
             )
 
         return jax.vmap(one)(tiles, keys).astype(transfer_dtype)

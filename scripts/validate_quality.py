@@ -26,7 +26,8 @@ sys.path.insert(0, str(REPO / "tests"))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
-    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--size", type=int, default=None,
+                    help="sample extent per dim (default 512 for 2D, 128 for 3D)")
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--ndim", type=int, default=2, choices=(2, 3))
     ap.add_argument("--loss-mode", default="pairs", choices=("pairs", "grid", "dense"))
@@ -36,6 +37,8 @@ def main():
     ap.add_argument("--density", type=float, default=None)
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
+    if args.size is None:
+        args.size = 512 if args.ndim == 2 else 128
 
     import cellulus_tpu
     from cellulus_tpu.configs import ExperimentConfig
