@@ -232,7 +232,14 @@ def predict_sample(
             result[(slice(None),) + sel_out] = data
 
     pending = None
-    for start in range(0, len(origins), tb):
+    from .utils.progress import progress as _progress
+
+    batch_starts = _progress(
+        range(0, len(origins), tb),
+        f"predict tiles (batch of {tb})",
+        total=(len(origins) + tb - 1) // tb,
+    )
+    for start in batch_starts:
         batch_origins = origins[start : start + tb]
         tiles = np.stack(
             [

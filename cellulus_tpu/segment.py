@@ -171,11 +171,17 @@ def segment(inference_config: InferenceConfig) -> None:
                 range(meta.num_samples), range(inference_config.num_bandwidths)
             )
         )
+        from .utils.progress import progress as _progress
+
         with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
-            list(pool.map(one, jobs))
+            list(_progress(pool.map(one, jobs), "segment", total=len(jobs)))
     else:  # nucleus
+        from .utils.progress import progress as _progress
+
         ds_raw = f[inference_config.dataset_config.dataset_name]
-        for sample in range(meta.num_samples):
+        for sample in _progress(
+            range(meta.num_samples), "segment (nucleus)", total=meta.num_samples
+        ):
             raw_image = np.asarray(ds_raw[sample, 0])
             for k in range(inference_config.num_bandwidths):
                 seg = np.asarray(ds_in[sample, k])

@@ -35,6 +35,9 @@ def main():
         "--pair-count-mode", default="reference", choices=("reference", "all_dims")
     )
     ap.add_argument("--density", type=float, default=None)
+    ap.add_argument("--lr", type=float, default=4e-4)
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse workdir/models/best_loss.ckpt; run infer only")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
     if args.size is None:
@@ -94,7 +97,7 @@ def main():
                 ),
                 "crop_size": crop,
                 "max_iterations": args.iters,
-                "initial_learning_rate": 4e-4,
+                "initial_learning_rate": args.lr,
                 "num_workers": 4,
                 "elastic_deform": True,
                 "precision": "bfloat16",
@@ -137,9 +140,14 @@ def main():
         }
     )
 
-    cellulus_tpu.train(config)
+    if not args.skip_train:
+        cellulus_tpu.train(config)
 
     # stage ground truth next to outputs for evaluation
+    import shutil
+
+    if (work / "out.zarr").exists():
+        shutil.rmtree(work / "out.zarr")
     src = zarr.open(container, "r")
     out = zarr.open(work / "out.zarr", "a")
     out["groundtruth"] = np.asarray(src["groundtruth"][...])

@@ -127,3 +127,15 @@ def test_pair_count_mode_all_dims_3d():
         output_shape=(40, 40), density=0.1, kappa=6.0, count_mode="all_dims"
     )
     assert (a.n_anchors, a.n_references) == (b.n_anchors, b.n_references)
+
+
+def test_steps_per_dispatch_pairs_mode(blob_container_2d, tmp_path, monkeypatch):
+    """K>1 also works for host-sampled pairs (coords stack on the scan
+    axis; device_pair_sampling off)."""
+    monkeypatch.chdir(tmp_path)
+    base = dict(loss_mode="pairs", device_pair_sampling=False)
+    s1 = cellulus_tpu.train(_config(blob_container_2d, **base))
+    s2 = cellulus_tpu.train(
+        _config(blob_container_2d, steps_per_dispatch=2, **base)
+    )
+    np.testing.assert_allclose(_losses(s1), _losses(s2), rtol=1e-5)
