@@ -86,14 +86,16 @@ def main():
                 "kappa": kappa,
                 "loss_mode": args.loss_mode,
                 "pair_count_mode": args.pair_count_mode,
-                # 3D default 0.3 compensates the reference's 2-dim pair
-                # formula; all_dims restores the intended density semantics
+                # 3D defaults: 0.3 compensates the reference's 2-dim pair
+                # formula in reference mode; with all_dims, 0.05 targets
+                # ~124k pairs/crop (the proven regime: F1 1.000 / SEG 0.693
+                # at 2500 iters; 0.1 = 497k pairs over-constrains and
+                # collapses to F1 0.26 — see docs/validation.md)
                 "density": args.density
                 if args.density is not None
                 else (
-                    0.1
-                    if (args.ndim == 2 or args.pair_count_mode == "all_dims")
-                    else 0.3
+                    0.1 if args.ndim == 2
+                    else (0.05 if args.pair_count_mode == "all_dims" else 0.3)
                 ),
                 "crop_size": crop,
                 "max_iterations": args.iters,
