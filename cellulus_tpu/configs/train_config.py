@@ -67,6 +67,14 @@ class TrainConfig:
             normalizes on device — 4x less host->device traffic for uint8
             data with bit-identical results. Requires elastic_deform=False
             (deformation interpolates to float on the host anyway).
+        elastic_on_device: [tpu extension] Run elastic augmentation INSIDE
+            the jitted train step (same parameter model as the host path;
+            RNG streams differ, so results are distribution- not bit-equal).
+            Frees the single-threaded host warp from the data workers and
+            composes with transfer_precision="native" (padded crops ship in
+            the source dtype; the warp + normalization happen on device).
+            Requires a key-driven loss mode (device_pair_sampling or
+            loss_mode "grid"/"dense").
         pair_count_mode: [tpu extension] "reference" replicates the
             reference's anchor-count formula, which uses only the first two
             spatial dims even in 3D (reference ``zarr_dataset.py:244-245``) —
@@ -102,6 +110,7 @@ class TrainConfig:
     steps_per_dispatch: int = 1
     transfer_precision: str = "float32"
     pair_count_mode: str = "reference"
+    elastic_on_device: bool = False
 
     def __post_init__(self) -> None:
         self.train_data_config = as_config(DatasetConfig, self.train_data_config)

@@ -21,6 +21,7 @@ def get_dataset(
     sample_pairs: bool = True,
     normalize: bool = True,
     pair_count_mode: str = "reference",
+    elastic_device: bool = False,
 ) -> ZarrDataset:
     """Reference-parity factory (reference ``datasets/__init__.py:8-27``)."""
     return ZarrDataset(
@@ -37,6 +38,7 @@ def get_dataset(
         sample_pairs=sample_pairs,
         normalize=normalize,
         pair_count_mode=pair_count_mode,
+        elastic_device=elastic_device,
     )
 
 

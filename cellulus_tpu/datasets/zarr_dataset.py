@@ -64,10 +64,14 @@ class ZarrDataset:
         sample_pairs: bool = True,
         normalize: bool = True,
         pair_count_mode: str = "reference",
+        elastic_device: bool = False,
     ):
         self.dataset_config = dataset_config
         self.crop_size = tuple(int(c) for c in crop_size)
-        self.elastic = elastic_deform
+        # elastic_device: the dataset reads PADDED crops and the jitted
+        # train step performs the warp (datasets/elastic_jax.py)
+        self.elastic_device = elastic_device and elastic_deform
+        self.elastic = elastic_deform and not elastic_device
         self.control_point_spacing = control_point_spacing
         self.control_point_jitter = control_point_jitter
 
@@ -105,15 +109,16 @@ class ZarrDataset:
         # normalize=False ships crops in the source dtype; the train step
         # applies normalization_factor on device (transfer_precision="native")
         self.normalize = normalize
-        if not normalize and elastic_deform:
+        if not normalize and self.elastic:
             raise ValueError(
-                "normalize=False (native transfer) requires "
-                "elastic_deform=False: deformation interpolates to float on "
-                "the host, so there is nothing to save"
+                "normalize=False (native transfer) requires host elastic "
+                "off: deformation interpolates to float on the host. Use "
+                "elastic_on_device=true to combine augmentation with native "
+                "transfer."
             )
         self._margin = (
             required_margin(self.crop_size, control_point_jitter)
-            if self.elastic
+            if (self.elastic or self.elastic_device)
             else 0
         )
 
@@ -142,7 +147,15 @@ class ZarrDataset:
             int(rng.integers(0, max(1, sp - c + 1)))
             for sp, c in zip(spatial, self.crop_size)
         )
-        if not self.elastic:
+        if self.elastic_device:
+            # padded read; the device step warps it back down to crop_size
+            m = self._margin
+            crop = self._read_region(
+                sample,
+                tuple(o - m for o in origin),
+                tuple(c + 2 * m for c in self.crop_size),
+            )
+        elif not self.elastic:
             crop = self._read_region(sample, origin, self.crop_size)
         else:
             m = self._margin

@@ -516,10 +516,23 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         )
 
     native_transfer = train_config.transfer_precision == "native"
-    if native_transfer and train_config.elastic_deform:
+    if (
+        native_transfer
+        and train_config.elastic_deform
+        and not train_config.elastic_on_device
+    ):
         raise ValueError(
-            "transfer_precision='native' requires elastic_deform=false "
-            "(elastic deformation interpolates crops to float on the host)"
+            "transfer_precision='native' requires host elastic off "
+            "(deformation interpolates crops to float on the host); set "
+            "elastic_on_device=true to combine them"
+        )
+    if train_config.elastic_on_device and not (
+        train_config.device_pair_sampling
+        or train_config.loss_mode in ("grid", "dense")
+    ):
+        raise ValueError(
+            "elastic_on_device needs a key-driven step: enable "
+            "device_pair_sampling or use loss_mode 'grid'/'dense'"
         )
 
     def build_dataset(dataset_config):
@@ -537,6 +550,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             sample_pairs=not train_config.device_pair_sampling,
             normalize=not native_transfer,
             pair_count_mode=train_config.pair_count_mode,
+            elastic_device=train_config.elastic_on_device,
         )
 
     if train_config.train_data_configs:
@@ -696,6 +710,25 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             compute_dtype,
             input_scale=input_scale,
         )
+    if train_config.elastic_on_device and train_config.elastic_deform:
+        # compose the on-device warp in front of the (key-driven) step: the
+        # host ships padded source-dtype crops; warp + normalization + loss
+        # all run inside one jitted program
+        from .datasets.elastic_jax import elastic_deform_batch
+
+        deform = elastic_deform_batch(
+            crop_size,
+            train_config.control_point_spacing,
+            train_config.control_point_jitter,
+        )
+        inner_step = step
+
+        def step(params, opt_state, raw, key):
+            k_deform, k_loss = jax.random.split(key)
+            return inner_step(
+                params, opt_state, deform(raw, k_deform), k_loss
+            )
+
     step_fn = step
     step = jax.jit(step_fn, donate_argnums=(0, 1))
     base_key = jax.random.PRNGKey(train_config.seed + 17)

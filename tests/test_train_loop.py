@@ -139,3 +139,36 @@ def test_steps_per_dispatch_pairs_mode(blob_container_2d, tmp_path, monkeypatch)
         _config(blob_container_2d, steps_per_dispatch=2, **base)
     )
     np.testing.assert_allclose(_losses(s1), _losses(s2), rtol=1e-5)
+
+
+def test_elastic_on_device_trains(blob_container_2d, tmp_path, monkeypatch):
+    """On-device elastic warp composes with the jitted step (and with
+    native uint8 transfer): finite losses, deterministic under seed."""
+    monkeypatch.chdir(tmp_path)
+    cfg = dict(
+        max_iterations=3,
+        elastic_deform=True,
+        elastic_on_device=True,
+        transfer_precision="native",
+    )
+    a = cellulus_tpu.train(_config(blob_container_2d, **cfg))
+    assert np.isfinite(_losses(a)).all()
+    b = cellulus_tpu.train(_config(blob_container_2d, **cfg))
+    np.testing.assert_allclose(_losses(a), _losses(b))
+
+
+def test_elastic_on_device_requires_key_driven(
+    blob_container_2d, tmp_path, monkeypatch
+):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError, match="key-driven"):
+        cellulus_tpu.train(
+            _config(
+                blob_container_2d,
+                max_iterations=1,
+                loss_mode="pairs",
+                device_pair_sampling=False,
+                elastic_deform=True,
+                elastic_on_device=True,
+            )
+        )
