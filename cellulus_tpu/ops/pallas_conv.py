@@ -18,9 +18,14 @@ Grid: (batch, H-strips). The input stays in HBM (``pl.ANY``); each program
 DMAs its (strip + 4)-row window into VMEM (windows overlap by 4 rows, which
 BlockSpec tiling cannot express).
 
-Used by the inference forward only (no custom VJP); enable with
-``CELLULUS_TPU_PALLAS_CONV=1``. Parity-tested against the XLA conv pass in
-interpret mode and on-device.
+STATUS (measured, round 2): the XLA TTA inference path already runs at
+the chip's observed MXU ceiling (33.3% MFU — equal to a bare 4096^3 bf16
+matmul on this v5e), so there is no headroom for this kernel to claim at
+inference batch sizes; and Mosaic currently refuses the halo DMA when the
+channel dim is not lane-aligned (memref_slice on a (B,H,W,1) HBM ref).
+The kernel therefore stays an EXPERIMENTAL, interpret-verified reference
+(enable with ``CELLULUS_TPU_PALLAS_CONV=1``; 2D inference forward only —
+no custom VJP). See NOTES.md "Pallas conv pass post-mortem".
 """
 
 from __future__ import annotations
