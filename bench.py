@@ -19,7 +19,7 @@ MeanShift fit/predict (reference utils/mean_shift.py:60-76) + scipy
 segmentation, on identical data. The baseline number is cached in
 ``.bench_baseline.json`` (per-host) after first measurement.
 
-Env knobs: BENCH_TRAIN_ITERS (default 200), BENCH_SAMPLES (default 2),
+Env knobs: BENCH_TRAIN_ITERS (default 300), BENCH_SAMPLES (default 4),
 BENCH_SIZE (default 944), BENCH_SKIP_BASELINE=1 to report vs_baseline from
 cache only.
 """
@@ -39,7 +39,7 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
 TRAIN_ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "300"))
-NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "2"))
+NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "4"))
 SIZE = int(os.environ.get("BENCH_SIZE", "944"))  # 4x4 output tiles of 236^2
 NUM_FMAPS = int(os.environ.get("BENCH_NUM_FMAPS", "64"))
 BASELINE_CACHE = REPO / ".bench_baseline.json"
@@ -69,7 +69,16 @@ def main():
     work = REPO / ".bench_work"
     work.mkdir(exist_ok=True)
     container = work / "bench_data.zarr"
-    if not (container / "train" / ".zarray").exists():
+    meta_path = container / "train" / ".zarray"
+    regenerate = True
+    if meta_path.exists():
+        shape = json.loads(meta_path.read_text())["shape"]
+        regenerate = shape[0] != NUM_SAMPLES or shape[-1] != SIZE
+    if regenerate:
+        import shutil as _shutil
+
+        if container.exists():
+            _shutil.rmtree(container)
         log("generating synthetic data...")
         make_blob_container(
             container, num_samples=NUM_SAMPLES, size=SIZE, ndim=2, seed=5,
