@@ -49,10 +49,12 @@ class TrainConfig:
             per-step coordinate transfer). Disable for bit-exact parity with
             the host sampling path.
         loss_mode: "pairs" (reference-parity sampled pixel pairs; default),
-            "grid" (stratified anchors on a jittered grid — anchor gather
-            and its transpose scatter disappear into a strided slice;
-            0.7 ms vs 37 ms steps on v5e at 64 fmaps, validated to train to
-            identical quality; reference offsets stay iid per anchor),
+            "grid" (stratified anchors on a jittered grid — the anchor
+            gather and its transpose scatter disappear into a strided
+            slice; validated to train to identical quality, F1 1.000 in
+            2D, with lower anchor-sampling variance. Measured correctly
+            the step time matches pairs at 64 fmaps — weight-gradient
+            convs dominate both; see NOTES.md),
             or "dense" (EXPERIMENTAL gather-free
             shifted-field estimator: same expectation but offsets shared
             across anchors make gradients ~10x noisier — observed to stall

@@ -367,8 +367,8 @@ def make_multi_step(step_fn):
     returned function takes K-stacked per-step inputs (leading axis K on
     every extra argument: raw batches, RNG keys, or coordinate arrays) and
     returns per-step ``(losses, oces)`` arrays. Amortizes per-dispatch host
-    latency over K steps (VERDICT round 1 item 3: the measured loop overhead
-    was ~50x the 0.7 ms grid-mode step under the tunneled TPU).
+    latency and h2d transfer overhead over K steps (VERDICT round 1 item 3;
+    see NOTES.md for the corrected step-time measurements).
     """
 
     def multi(params, opt_state, *stacked):
