@@ -77,6 +77,14 @@ class TrainConfig:
             the source dtype; the warp + normalization happen on device).
             Requires a key-driven loss mode (device_pair_sampling or
             loss_mode "grid"/"dense").
+        packed_dw: [tpu extension, EXPERIMENTAL — measured slower on v5e]
+            Compute conv filter gradients as packed matmuls
+            (ops/conv_vjp.py) instead of XLA's conv-backprop-filter.
+            Numerically equivalent (f32 accumulation both ways), but the
+            shift/pad stacking materializes in HBM: full grid-mode step
+            59.9 ms vs 37.1 ms native on v5e (scripts/diag_step_dw.py);
+            isolated dw matmuls are a wash (scripts/diag_dw.py). Kept as a
+            measured negative result; default off.
         pair_count_mode: [tpu extension] "reference" replicates the
             reference's anchor-count formula, which uses only the first two
             spatial dims even in 3D (reference ``zarr_dataset.py:244-245``) —
@@ -113,6 +121,7 @@ class TrainConfig:
     transfer_precision: str = "float32"
     pair_count_mode: str = "reference"
     elastic_on_device: bool = False
+    packed_dw: bool = False
 
     def __post_init__(self) -> None:
         self.train_data_config = as_config(DatasetConfig, self.train_data_config)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
@@ -180,24 +181,35 @@ def _dimension_numbers(ndim: int) -> lax.ConvDimensionNumbers:
     raise ValueError(f"unsupported spatial ndim {ndim}")
 
 
-def _conv(x: jnp.ndarray, p: Params, ndim: int, compute_dtype) -> jnp.ndarray:
+def _conv(
+    x: jnp.ndarray, p: Params, ndim: int, compute_dtype, packed_dw: bool = False
+) -> jnp.ndarray:
     # bf16 inputs/weights hit the MXU with f32 accumulation (XLA default);
     # an explicit preferred_element_type=f32 would break the transpose rule
     # under jax.grad (cotangent/weight dtype mismatch)
     w = p["w"].astype(compute_dtype)
-    out = lax.conv_general_dilated(
-        x.astype(compute_dtype),
-        w,
-        window_strides=(1,) * ndim,
-        padding="VALID",
-        dimension_numbers=_dimension_numbers(ndim),
-    )
+    if packed_dw:
+        # training fast path: custom VJP whose filter gradient is a packed
+        # matmul (see ops/conv_vjp.py) — forward math is identical
+        from ..ops.conv_vjp import conv_valid_packed
+
+        out = conv_valid_packed(x.astype(compute_dtype), w, ndim)
+    else:
+        out = lax.conv_general_dilated(
+            x.astype(compute_dtype),
+            w,
+            window_strides=(1,) * ndim,
+            padding="VALID",
+            dimension_numbers=_dimension_numbers(ndim),
+        )
     return out + p["b"].astype(compute_dtype)
 
 
-def _conv_pass(x: jnp.ndarray, p: Params, ndim: int, compute_dtype) -> jnp.ndarray:
+def _conv_pass(
+    x: jnp.ndarray, p: Params, ndim: int, compute_dtype, packed_dw: bool = False
+) -> jnp.ndarray:
     for i in range(len(UNetSpec.PASS_KERNELS)):
-        x = _conv(x, p[f"conv{i}"], ndim, compute_dtype)
+        x = _conv(x, p[f"conv{i}"], ndim, compute_dtype, packed_dw)
         x = jax.nn.relu(x)
     return x
 
@@ -230,6 +242,7 @@ def forward(
     raw: jnp.ndarray,
     compute_dtype=jnp.float32,
     fused_conv_pass: bool = False,
+    packed_dw: bool = False,
 ) -> jnp.ndarray:
     """U-Net + head forward pass.
 
@@ -238,6 +251,10 @@ def forward(
         fused_conv_pass: route 2D conv passes through the fused Pallas
             kernel (:func:`cellulus_tpu.ops.pallas_conv.conv_pass_2d`) —
             inference only (the kernel defines no VJP).
+        packed_dw: use the packed-matmul filter gradient
+            (:mod:`cellulus_tpu.ops.conv_vjp`) — identical forward and
+            gradients; EXPERIMENTAL, measured slower than XLA's native
+            filter-grad on v5e (see conv_vjp.py docstring).
 
     Returns:
         Offsets ``(B, *spatial_out, out_channels)``; channel order is
@@ -258,7 +275,7 @@ def forward(
             return conv_pass_2d(x, p, dtype)
 
     else:
-        pass_fn = _conv_pass
+        pass_fn = partial(_conv_pass, packed_dw=packed_dw)
 
     x = raw
     skips = []
@@ -278,9 +295,9 @@ def forward(
         x = pass_fn(x, params["up"][f"level{level}"], ndim, compute_dtype)
 
     # head: 1x1 -> ReLU -> 1x1 (no trailing activation)
-    x = _conv(x, params["head"]["conv0"], ndim, compute_dtype)
+    x = _conv(x, params["head"]["conv0"], ndim, compute_dtype, packed_dw)
     x = jax.nn.relu(x)
-    x = _conv(x, params["head"]["conv1"], ndim, compute_dtype)
+    x = _conv(x, params["head"]["conv1"], ndim, compute_dtype, packed_dw)
     return x.astype(jnp.float32)
 
 

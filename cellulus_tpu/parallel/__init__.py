@@ -1,5 +1,7 @@
-"""Device-mesh parallelism: mesh construction and sharding layouts."""
+"""Device-mesh parallelism: mesh construction, sharding layouts, and
+multi-host (jax.distributed) helpers."""
 
+from . import distributed
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -9,6 +11,7 @@ from .mesh import (
 
 __all__ = [
     "batch_sharding",
+    "distributed",
     "make_mesh",
     "replicated_sharding",
     "stacked_batch_sharding",

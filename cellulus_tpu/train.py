@@ -63,6 +63,7 @@ def make_train_step(
     regularizer_weight: float,
     compute_dtype=jnp.float32,
     input_scale=None,
+    packed_dw: bool = False,
 ):
     """Build the jittable train step.
 
@@ -74,7 +75,7 @@ def make_train_step(
         raw = _prep_raw(raw, input_scale, compute_dtype)
 
         def loss_fn(p):
-            offsets = forward(spec, p, raw, compute_dtype)
+            offsets = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw)
             e_anchor = select_and_add_coordinates(offsets, anchors)
             e_reference = select_and_add_coordinates(offsets, references)
             loss, oce, reg = oce_loss(
@@ -101,6 +102,7 @@ def make_train_step_fused(
     batch_size: int,
     compute_dtype=jnp.float32,
     input_scale=None,
+    packed_dw: bool = False,
 ):
     """Train step with ON-DEVICE pair sampling fused into the jit region.
 
@@ -125,7 +127,7 @@ def make_train_step_fused(
         B, A, R, D = references.shape
 
         def loss_fn(p):
-            offsets = forward(spec, p, raw, compute_dtype)
+            offsets = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw)
             e_anchor = select_and_add_coordinates(offsets, anchors)  # (B,A,D)
             e_reference = select_and_add_coordinates(
                 jax.lax.stop_gradient(offsets), references.reshape(B, A * R, D)
@@ -157,6 +159,7 @@ def make_train_step_dense(
     batch_size: int,
     compute_dtype=jnp.float32,
     input_scale=None,
+    packed_dw: bool = False,
 ):
     """Gather-free train step: the pair loss as dense shifted-field slices.
 
@@ -215,7 +218,7 @@ def make_train_step_dense(
         n_anchor_samples = jnp.maximum(jnp.sum(mask), 1.0)
 
         def loss_fn(p):
-            field = forward(spec, p, raw, compute_dtype)  # (B, *out, D)
+            field = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw)  # (B, *out, D)
             e = field + coord_grid
             e_sg = jax.lax.stop_gradient(e)
             # anchor block: rows/cols [k, out-k)
@@ -265,6 +268,7 @@ def make_train_step_grid(
     batch_size: int,
     compute_dtype=jnp.float32,
     input_scale=None,
+    packed_dw: bool = False,
 ):
     """Stratified-anchor train step: no gather and no scatter on the live
     gradient path.
@@ -319,7 +323,7 @@ def make_train_step_grid(
         references = anchors[:, :, None, :] + offsets_table[idx]  # (B,A,R,D)
 
         def loss_fn(p):
-            offsets = forward(spec, p, raw, compute_dtype)  # (B,*out,D)
+            offsets = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw)  # (B,*out,D)
             # anchor embeddings by strided slicing (gather-free)
             start = (jnp.int32(0),) + tuple(
                 k + jitter[d] for d in range(ndim)
@@ -491,7 +495,12 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     import cellulus_tpu
 
     cellulus_tpu.enable_compilation_cache()
-    print(experiment_config)
+    from .parallel import distributed as dist
+
+    dist.initialize()  # no-op unless a coordinator is configured
+    multi_process = dist.process_count() > 1
+    if dist.is_primary():
+        print(experiment_config)
 
     train_config = experiment_config.train_config
     model_config = experiment_config.model_config
@@ -546,7 +555,9 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             kappa=train_config.kappa,
             normalization_factor=experiment_config.normalization_factor,
             output_shape=geometry.output_size,
-            seed=train_config.seed,
+            # process-disjoint crop streams: each host samples its own share
+            # of the global batch
+            seed=train_config.seed + 10007 * dist.process_index(),
             sample_pairs=not train_config.device_pair_sampling,
             normalize=not native_transfer,
             pair_count_mode=train_config.pair_count_mode,
@@ -606,15 +617,24 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         if train_config.data_parallelism is not None
         else len(jax.devices())
     )
-    while train_config.batch_size % n_dev:
-        n_dev -= 1
+    if multi_process:
+        # the global mesh must span every process's devices: the batch has
+        # to shard evenly instead of shrinking the mesh to a divisor
+        if train_config.batch_size % n_dev:
+            raise ValueError(
+                f"multi-process training needs batch_size divisible by the "
+                f"global device count {n_dev}, got {train_config.batch_size}"
+            )
+    else:
+        while train_config.batch_size % n_dev:
+            n_dev -= 1
     mesh = make_mesh(n_dev)
     data_sh = batch_sharding(mesh)
     rep_sh = replicated_sharding(mesh)
     params = jax.device_put(params, rep_sh)
     opt_state = jax.device_put(opt_state, rep_sh)
 
-    if n_dev == 1:
+    if n_dev == 1 and not multi_process:
         # single device: plain transfers avoid the sharding-metadata path
         def put_batch(x):
             return jnp.asarray(x)
@@ -626,17 +646,25 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         stacked_sh = stacked_batch_sharding(mesh)
 
         def put_batch(x):
-            return jax.device_put(x, data_sh)
+            # multi-process: x is this host's local shard of the batch axis,
+            # assembled into one global array without cross-host copies
+            return dist.put_process_batch(np.asarray(x), data_sh)
 
         def put_stacked(x):
             # (K, B, ...): axis 1 is the batch axis, axis 0 the scan axis
-            return jax.device_put(x, stacked_sh)
+            return dist.put_process_batch(np.asarray(x), stacked_sh)
 
     # validation: the reference accepts validate_data_config but never uses
     # it (reference train.py never touches it); here a validation loss is
     # computed at the best-model cadence and logged alongside train loss
     val_batches = None
-    if train_config.validate_data_config is not None:
+    if train_config.validate_data_config is not None and multi_process:
+        if dist.is_primary():
+            print(
+                "validation disabled under multi-process training (the "
+                "validation forward runs on host-local arrays)"
+            )
+    elif train_config.validate_data_config is not None:
         try:
             val_dataset = get_dataset(
                 dataset_config=train_config.validate_data_config,
@@ -678,6 +706,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.batch_size,
             compute_dtype,
             input_scale=input_scale,
+            packed_dw=train_config.packed_dw,
         )
     elif getattr(train_config, "loss_mode", "pairs") == "dense":
         step = make_train_step_dense(
@@ -689,6 +718,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.batch_size,
             compute_dtype,
             input_scale=input_scale,
+            packed_dw=train_config.packed_dw,
         )
     elif train_config.device_pair_sampling:
         step = make_train_step_fused(
@@ -700,6 +730,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.batch_size,
             compute_dtype,
             input_scale=input_scale,
+            packed_dw=train_config.packed_dw,
         )
     else:
         step = make_train_step(
@@ -709,6 +740,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.regularizer_weight,
             compute_dtype,
             input_scale=input_scale,
+            packed_dw=train_config.packed_dw,
         )
     if train_config.elastic_on_device and train_config.elastic_deform:
         # compose the on-device warp in front of the (key-driven) step: the
@@ -762,8 +794,11 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             )
         return total / len(val_batches)
 
+    # each process loads only its share of the global batch
     loader = BatchLoader(
-        dataset, train_config.batch_size, num_workers=train_config.num_workers
+        dataset,
+        dist.local_batch_size(train_config.batch_size),
+        num_workers=train_config.num_workers,
     )
 
     epoch_loss = 0.0
@@ -777,10 +812,16 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         it, loss_dev, oce_dev = pending_entry
         loss_f = float(loss_dev)
         oce_f = float(oce_dev)
-        print(f"===> iteration: {it}, loss: {loss_f:.6f}, oce loss: {oce_f:.6f}")
-        logger.add("loss", loss_f)
-        logger.add("oce_loss", oce_f)
-        logger.step()
+        if dist.is_primary():
+            # the loss is computed from the global batch, so every process
+            # sees the same value; one process prints and owns the CSV/plot
+            print(
+                f"===> iteration: {it}, loss: {loss_f:.6f}, "
+                f"oce loss: {oce_f:.6f}"
+            )
+            logger.add("loss", loss_f)
+            logger.add("oce_loss", oce_f)
+            logger.step()
         epoch_loss += loss_f
         num_iterations += 1
 
@@ -796,21 +837,27 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                 print(f"===> validation loss: {val_loss:.6f}")
             mean_loss = epoch_loss / num_iterations
             if mean_loss < lowest_loss:
+                # identical on every process (global-batch loss); only the
+                # primary writes (params are replicated)
                 lowest_loss = mean_loss
-                save_checkpoint(
-                    Path("models") / "best_loss.ckpt",
-                    pack_state(
-                        iteration, lowest_loss, params, opt_state, logger.data
-                    ),
-                )
-                print(f"Best model weights saved at iteration {iteration}")
+                if dist.is_primary():
+                    save_checkpoint(
+                        Path("models") / "best_loss.ckpt",
+                        pack_state(
+                            iteration, lowest_loss, params, opt_state,
+                            logger.data,
+                        ),
+                    )
+                    print(
+                        f"Best model weights saved at iteration {iteration}"
+                    )
             epoch_loss = 0.0
             num_iterations = 0
 
         if (
             iteration % train_config.save_model_every == 0
             or iteration == train_config.max_iterations - 1
-        ):
+        ) and dist.is_primary():
             save_checkpoint(
                 Path("models") / (str(iteration).zfill(6) + ".ckpt"),
                 pack_state(
@@ -820,6 +867,10 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             print(f"Checkpoint saved at iteration {iteration}")
 
         if iteration % train_config.save_snapshot_every == 0 and offsets is not None:
+            if multi_process:
+                # the prediction is sharded across hosts; snapshots are a
+                # single-host debugging aid and are skipped here
+                return
             pred_np = np.moveaxis(np.asarray(offsets), -1, 1)
             snap_raw = raw_np
             if input_scale is not None:
@@ -913,7 +964,10 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                     )
                     if is_cadence:
                         offsets = None
-                        if iteration % train_config.save_snapshot_every == 0:
+                        if (
+                            iteration % train_config.save_snapshot_every == 0
+                            and not multi_process
+                        ):
                             offsets = snapshot_forward(
                                 params,
                                 put_batch(
