@@ -171,6 +171,56 @@ def label(array: np.ndarray) -> np.ndarray:
     return labels_flat.reshape(array.shape)
 
 
+def filter_relabel_device(parents_flat, values_at_parent_flat, min_size: int):
+    """Traceable device epilogue: drop components below ``min_size`` pixels
+    and relabel survivors consecutively — identical output to
+    :func:`filter_relabel_from_parents`, but composable inside one jitted
+    program so only the final uint16 labels ever cross the PCIe/tunnel link
+    (host epilogue: 2 x N int32 down; this: N uint16 down).
+
+    Args:
+        parents_flat: ``(N,)`` int32 root flat-indices in ``[0, N]``
+            (sentinel ``N`` = background; roots point to themselves).
+        values_at_parent_flat: ``(N,)`` integer input id at each pixel's
+            root (0 for background).
+        min_size: static pixel-count threshold.
+
+    Returns:
+        ``(N,)`` uint16 labels, consecutive from 1 in
+        ``(input id, component min flat index)`` order over survivors.
+    """
+    import jax.numpy as jnp
+
+    N = parents_flat.shape[0]
+    counts = (
+        jnp.zeros((N + 1,), jnp.int32).at[parents_flat].add(1).at[N].set(0)
+    )
+    valid = (counts > 0) & (counts >= min_size)
+    # value at index r IF r is a root: roots are their own parent, so the
+    # per-pixel root-value array is correct at root positions
+    vals_root = jnp.concatenate(
+        [
+            values_at_parent_flat.astype(jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+        ]
+    )
+    # rank survivors by (input id, root index): a STABLE sort on the value
+    # alone preserves index order among ties — same order as
+    # _relabel_from_parents' lexsort((uniq, vals)) restricted to keepers.
+    # Invalid entries sort last via a sentinel above any uint16/int id.
+    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+    key = jnp.where(valid, vals_root, sentinel)
+    order = jnp.argsort(key, stable=True)
+    valid_sorted = valid[order]
+    ranks = jnp.cumsum(valid_sorted.astype(jnp.int32))
+    rank_of_root = (
+        jnp.zeros((N + 1,), jnp.int32)
+        .at[order]
+        .set(jnp.where(valid_sorted, ranks, 0))
+    )
+    return rank_of_root[parents_flat].astype(jnp.uint16)
+
+
 def filter_relabel_from_parents(
     values_flat: np.ndarray, parents_flat: np.ndarray, min_size: int
 ) -> np.ndarray:

@@ -22,33 +22,45 @@ from functools import lru_cache
 
 from .configs import InferenceConfig
 from .io import DatasetMetaData, zarr
-from .ops.components import filter_relabel_from_parents, size_filter
+from .ops.components import size_filter
 from .ops.otsu import threshold_otsu
 
 
 @lru_cache(maxsize=None)
-def _cell_segment_kernel(grow_distance: float, shrink_distance: float):
+def _cell_segment_kernel(
+    grow_distance: float, shrink_distance: float, min_size: int
+):
     """ONE jitted dispatch for the whole "cell" post-processing of a sample:
-    halo removal (disk-kernel convs) -> connected-component parents -> root
-    values, fetched once. The host epilogue only compacts labels and drops
-    small components (:func:`filter_relabel_from_parents`)."""
+    halo removal (disk-kernel convs) -> connected-component parents ->
+    size filter + consecutive relabel, all on device
+    (:func:`~cellulus_tpu.ops.components.filter_relabel_device`). The host
+    uploads uint16 detections and downloads uint16 labels — nothing else
+    crosses the link (the earlier host epilogue fetched two int32 arrays,
+    ~4x the bytes: it dominated segment wall time over the tunnel).
+
+    ``min_size == 0`` keeps the reference semantics: halo removal only, no
+    size filter and NO relabel (reference ``segment.py:103-108`` skips
+    ``size_filter`` entirely in that case)."""
     import jax
     import jax.numpy as jnp
 
-    from .ops.components import cc_parents
+    from .ops.components import cc_parents, filter_relabel_device
     from .ops.morphology import halo_removal_body
 
     @jax.jit
     def run(segmentation):
         seg = halo_removal_body(
-            segmentation, grow_distance, shrink_distance
+            segmentation.astype(jnp.int32), grow_distance, shrink_distance
         )
-        parents = cc_parents(seg)
+        if min_size == 0:
+            return seg.astype(jnp.uint16)
+        parents = cc_parents(seg).ravel()
         vals_flat = jnp.concatenate(
             [seg.ravel(), jnp.zeros((1,), seg.dtype)]
         )
-        values_at_parent = vals_flat[parents.ravel()].astype(jnp.uint16)
-        return parents, values_at_parent
+        values_at_parent = vals_flat[parents]
+        labels = filter_relabel_device(parents, values_at_parent, min_size)
+        return labels.reshape(seg.shape)
 
     return run
 
@@ -59,22 +71,14 @@ def cell_segment_sample(
     shrink_distance: float,
     min_size: int,
 ) -> np.ndarray:
-    """Fused "cell"-mode post-processing: halo removal + size filter with a
-    single device round-trip. Output identical to
+    """Fused "cell"-mode post-processing: halo removal + CC + size filter +
+    relabel in a single device dispatch. Output identical to
     ``size_filter(remove_halo(seg), min_size)``."""
-    seg = np.ascontiguousarray(segmentation, dtype=np.int32)
-    parents, values_at_parent = _cell_segment_kernel(
-        float(grow_distance), float(shrink_distance)
+    seg = np.ascontiguousarray(segmentation, dtype=np.uint16)
+    labels = _cell_segment_kernel(
+        float(grow_distance), float(shrink_distance), int(min_size)
     )(seg)
-    if min_size == 0:
-        # reference semantics: min_size 0 skips the size filter AND the
-        # relabel; reproduce halo removal only
-        out = np.asarray(values_at_parent).astype(segmentation.dtype)
-        return out.reshape(segmentation.shape)
-    labels = filter_relabel_from_parents(
-        np.asarray(values_at_parent), np.asarray(parents).ravel(), min_size
-    )
-    return labels.reshape(segmentation.shape)
+    return np.asarray(labels).astype(segmentation.dtype)
 
 
 def remove_halo(

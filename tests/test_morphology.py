@@ -63,3 +63,31 @@ def test_cell_segment_sample_matches_unfused():
         want = size_filter(remove_halo(seg, 3, 6), min_size)
         got = cell_segment_sample(seg, 3, 6, min_size)
         np.testing.assert_array_equal(np.asarray(want), got, err_msg=str(min_size))
+
+
+def test_filter_relabel_device_matches_host():
+    """Device size-filter + relabel == host epilogue, random labelings."""
+    import numpy as np
+
+    from cellulus_tpu.ops.components import (
+        cc_parents,
+        filter_relabel_device,
+        filter_relabel_from_parents,
+    )
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        seg = (rng.random((40, 52)) < 0.35).astype(np.int32)
+        seg *= rng.integers(1, 6, seg.shape).astype(np.int32)
+        parents = np.asarray(jax.jit(cc_parents)(seg)).ravel()
+        vals = np.concatenate([seg.ravel(), [0]])[parents]
+        for min_size in (0, 1, 3, 8):
+            host = filter_relabel_from_parents(vals, parents, min_size)
+            dev = np.asarray(
+                filter_relabel_device(
+                    jnp.asarray(parents), jnp.asarray(vals), min_size
+                )
+            )
+            np.testing.assert_array_equal(dev.astype(np.int32), host)
