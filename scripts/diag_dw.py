@@ -131,10 +131,44 @@ def bench_layer(B, H, Ci, Co, k):
     timed(packed, w0, flops, "  packed matmul dw")
 
 
+def bench_splitk(B, H, Ci, Co, k, G=8):
+    """dw with the K (pixel) contraction split into G batched partials:
+    exposes cross-pass parallelism XLA may not extract from one tall dot."""
+    x = jnp.asarray(rng.random((B, H, H, Ci), np.float32), jnp.bfloat16)
+    Hp = H - (k - 1)
+    dy = jnp.asarray(rng.random((B, Hp, Hp, Co), np.float32), jnp.bfloat16)
+    w0 = jnp.asarray(rng.random((k, k, Ci, Co), np.float32) * 0.01, jnp.bfloat16)
+    flops = 2 * B * Hp * Hp * k * k * Ci * Co
+
+    def splitk(w):
+        A = jnp.stack([x[:, ky : ky + Hp] for ky in range(k)], 0)
+        P = jnp.stack(
+            [
+                jnp.pad(dy, ((0, 0), (0, 0), (kx, H - Hp - kx), (0, 0)))
+                for kx in range(k)
+            ],
+            0,
+        )
+        # regroup batch into G contraction groups: (k, G, B/G, Hp, W, C)
+        A = A.reshape(k, G, B // G if B >= G else 1, *A.shape[2:])
+        P = P.reshape(k, G, B // G if B >= G else 1, *P.shape[2:])
+        part = jax.lax.dot_general(
+            A,
+            P,
+            (((2, 3, 4), (2, 3, 4)), ((1,), (1,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, k, Ci, k, Co)
+        dw = jnp.sum(part, axis=0)
+        return dw.transpose(0, 2, 1, 3).astype(w.dtype) + w * 0
+
+    timed(splitk, w0, flops, f"  split-K({G}) packed dw {k}x{k} {Ci}->{Co} @{H}^2")
+
+
 # real model layer shapes (num_fmaps=64, inc=3, 252^2 crop, B=8)
 bench_layer(8, 250, 64, 64, 3)  # level0 down conv3 (and conv0 is 1->64)
 bench_layer(8, 122, 64, 192, 3)  # level1 conv0 (after pool, approx sizes)
 bench_layer(8, 118, 192, 192, 3)  # level1 conv3
-bench_layer(8, 240, 256, 64, 3)  # up level0 conv0 (skip 64 + up 192)
+bench_splitk(8, 250, 64, 64, 3, G=8)
+bench_splitk(8, 250, 64, 64, 3, G=4)
 bench_layer(8, 236, 64, 64, 1)  # 1x1 convs at level0
 bench_layer(8, 118, 192, 192, 1)  # 1x1 convs at level1
