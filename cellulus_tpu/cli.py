@@ -36,6 +36,34 @@ def infer(argv=None) -> None:
     run(_load(args.config_file))
 
 
+def export(argv=None) -> None:
+    """Serialize the trained tile predictor as a serving artifact
+    (StableHLO via jax.export; see :mod:`cellulus_tpu.export`)."""
+    parser = argparse.ArgumentParser(
+        description="Export a trained cellulus-tpu model for serving"
+    )
+    parser.add_argument("config_file", help="infer-style TOML naming the checkpoint")
+    parser.add_argument("output_dir")
+    parser.add_argument(
+        "--platforms",
+        default=None,
+        help="comma-separated lowering targets, e.g. 'tpu,cpu' "
+        "(default: current backend)",
+    )
+    parser.add_argument("--tile-batch", type=int, default=None)
+    args = parser.parse_args(argv)
+    from .export import export_from_experiment
+
+    platforms = args.platforms.split(",") if args.platforms else None
+    out = export_from_experiment(
+        _load(args.config_file),
+        args.output_dir,
+        tile_batch_size=args.tile_batch,
+        platforms=platforms,
+    )
+    print(f"Serving artifact written to {out}")
+
+
 def geometry(argv=None) -> None:
     """Print the U-Net input/output geometry for a crop size, and nearby
     valid alternatives."""
@@ -92,6 +120,11 @@ def main(argv=None) -> None:
     for name in ("train", "infer"):
         p = sub.add_parser(name)
         p.add_argument("config_file")
+    e = sub.add_parser("export")
+    e.add_argument("config_file")
+    e.add_argument("output_dir")
+    e.add_argument("--platforms", default=None)
+    e.add_argument("--tile-batch", type=int, default=None)
     g = sub.add_parser("geometry")
     g.add_argument("crop_size", type=int, nargs="+")
     g.add_argument("--factors", default="2,2")
@@ -100,6 +133,13 @@ def main(argv=None) -> None:
         train([args.config_file])
     elif args.command == "infer":
         infer([args.config_file])
+    elif args.command == "export":
+        rest = [args.config_file, args.output_dir]
+        if args.platforms:
+            rest += ["--platforms", args.platforms]
+        if args.tile_batch:
+            rest += ["--tile-batch", str(args.tile_batch)]
+        export(rest)
     else:
         rest = [str(c) for c in args.crop_size] + ["--factors", args.factors]
         geometry(rest)
