@@ -36,14 +36,36 @@ from .utils.checkpoint import load_checkpoint, save_checkpoint
 from .utils.logger import get_logger
 
 
-def make_optimizer(learning_rate: float, weight_decay: float = 0.01):
+def make_optimizer(
+    learning_rate: float,
+    weight_decay: float = 0.01,
+    lr_milestones=None,
+    lr_decay_factor: float = 0.1,
+):
     """torch ``Adam(lr, weight_decay)`` semantics: the decay term enters the
     gradient *before* the Adam moments (this is Adam-with-L2, not AdamW) —
-    reference ``train.py:80-82``."""
+    reference ``train.py:80-82``.
+
+    ``lr_milestones`` implements the PAPER's recipe (Appendix A: LR / 10 at
+    epochs 20/30), which the reference code never implemented — its Adam LR
+    is constant. Disabled by default for code parity; pass iteration
+    numbers to decay by ``lr_decay_factor`` at each."""
+    if lr_milestones:
+        milestones = sorted(int(m) for m in lr_milestones)
+
+        def schedule(step):
+            passed = sum(
+                jnp.asarray(step >= m, jnp.float32) for m in milestones
+            )
+            return -learning_rate * lr_decay_factor**passed
+
+        scale = optax.scale_by_schedule(schedule)
+    else:
+        scale = optax.scale(-learning_rate)
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        optax.scale(-learning_rate),
+        scale,
     )
 
 
@@ -592,7 +614,11 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         spec,
         scheme="kaiming_normal" if model_config.initialize else "torch_default",
     )
-    optimizer = make_optimizer(train_config.initial_learning_rate)
+    optimizer = make_optimizer(
+        train_config.initial_learning_rate,
+        lr_milestones=train_config.lr_milestones,
+        lr_decay_factor=train_config.lr_decay_factor,
+    )
     opt_state = optimizer.init(params)
 
     logger_keys = ["loss", "oce_loss"]
