@@ -412,22 +412,32 @@ def detect(inference_config: InferenceConfig) -> None:
 
     # samples process concurrently: per-sample RNG streams make results
     # order-independent, so worker threads overlap one sample's host prep
-    # with another's device compute (zarr writes are per-array locked)
+    # with another's device compute (zarr writes are per-array locked).
+    # With >1 device, samples round-robin across chips — detect is
+    # embarrassingly parallel over samples, so stage throughput scales
+    # with the mesh like predict's tile batches do (jax.default_device is
+    # thread-local, pinning each worker's dispatches).
     import concurrent.futures
+
+    import jax
+
+    devices = jax.devices()
 
     def one(sample: int):
         embeddings = np.asarray(ds_in[sample], dtype=np.float32)
-        threshold, binary_mask, centered, detections = detect_sample(
-            embeddings,
-            inference_config,
-            meta.num_spatial_dims,
-            sample_rng(inference_config.seed, sample),
-        )
+        with jax.default_device(devices[sample % len(devices)]):
+            threshold, binary_mask, centered, detections = detect_sample(
+                embeddings,
+                inference_config,
+                meta.num_spatial_dims,
+                sample_rng(inference_config.seed, sample),
+            )
         ds_binary[sample, 0] = binary_mask.astype(np.uint16)
         ds_centered[sample] = centered
         ds_detection[sample] = detections
         return sample, threshold
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+    workers = max(2, min(len(devices), meta.num_samples))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
         for sample, threshold in pool.map(one, range(meta.num_samples)):
             print(f"For sample {sample}, binary threshold {threshold} was used.")

@@ -36,9 +36,14 @@ def infer_pipelined(
     inference_config: InferenceConfig,
     normalization_factor: float,
     compute_dtype,
-    num_stage_workers: int = 2,
+    num_stage_workers: int = None,
 ) -> None:
     import jax
+
+    if num_stage_workers is None:
+        # enough workers to keep every chip's round-robin detect/segment
+        # lane busy; 2 suffices single-device (overlap host glue + device)
+        num_stage_workers = max(2, len(jax.devices()))
 
     ic = inference_config
     meta = DatasetMetaData.from_dataset_config(ic.dataset_config)
@@ -102,6 +107,8 @@ def infer_pipelined(
     if ic.post_processing == "nucleus":
         raw_for_nucleus = raw_ds
 
+    devices = jax.devices()
+
     def process_sample(
         sample: int, embeddings: np.ndarray, embeddings_dev=None
     ) -> None:
@@ -109,26 +116,30 @@ def infer_pipelined(
         per-sample RNG stream keeps results identical to the staged path
         regardless of worker scheduling). ``embeddings_dev`` is the
         device-resident copy assembled during predict — detect consumes it
-        without re-uploading the sample."""
-        threshold, binary_mask, centered, detections = detect_sample(
-            embeddings, ic, D, sample_rng(ic.seed, sample),
-            embeddings_device=embeddings_dev,
-        )
-        print(f"For sample {sample}, binary threshold {threshold} was used.")
-        ds_binary[sample, 0] = binary_mask.astype(np.uint16)
-        ds_centered[sample] = centered
-        ds_detection[sample] = detections
-        for k in range(ic.num_bandwidths):
-            if ic.post_processing == "cell":
-                seg = cell_segment_sample(
-                    detections[k], ic.grow_distance, ic.shrink_distance,
-                    ic.min_size,
-                )
-            else:
-                raw_image = np.asarray(raw_for_nucleus[sample, 0])
-                seg = nucleus_partition(detections[k], raw_image)
-                seg = size_filter(seg, ic.min_size)
-            ds_seg[sample, k] = seg.astype(np.uint16)
+        without re-uploading the sample. With >1 device, samples
+        round-robin across chips (thread-local jax.default_device) so the
+        detect/segment stages scale with the mesh alongside predict's
+        sharded tile batches."""
+        with jax.default_device(devices[sample % len(devices)]):
+            threshold, binary_mask, centered, detections = detect_sample(
+                embeddings, ic, D, sample_rng(ic.seed, sample),
+                embeddings_device=embeddings_dev,
+            )
+            print(f"For sample {sample}, binary threshold {threshold} was used.")
+            ds_binary[sample, 0] = binary_mask.astype(np.uint16)
+            ds_centered[sample] = centered
+            ds_detection[sample] = detections
+            for k in range(ic.num_bandwidths):
+                if ic.post_processing == "cell":
+                    seg = cell_segment_sample(
+                        detections[k], ic.grow_distance, ic.shrink_distance,
+                        ic.min_size,
+                    )
+                else:
+                    raw_image = np.asarray(raw_for_nucleus[sample, 0])
+                    seg = nucleus_partition(detections[k], raw_image)
+                    seg = size_filter(seg, ic.min_size)
+                ds_seg[sample, k] = seg.astype(np.uint16)
 
     # single writer: overlapping tile writes stay in submission order;
     # detect/segment workers can run >1 sample concurrently (per-sample RNG

@@ -156,28 +156,39 @@ def segment(inference_config: InferenceConfig) -> None:
 
     if inference_config.post_processing == "cell":
         # (sample, bandwidth) jobs are independent single-dispatch device
-        # programs; two workers overlap host relabeling with device compute
+        # programs; workers overlap host glue with device compute, and with
+        # >1 device the jobs round-robin across chips (thread-local
+        # jax.default_device) — the stage scales with the mesh
         import concurrent.futures
         import itertools
 
-        def one(job):
-            sample, k = job
-            seg = cell_segment_sample(
-                np.asarray(ds_in[sample, k]),
-                inference_config.grow_distance,
-                inference_config.shrink_distance,
-                inference_config.min_size,
-            )
+        import jax
+
+        devices = jax.devices()
+
+        def one(args):
+            idx, (sample, k) = args
+            with jax.default_device(devices[idx % len(devices)]):
+                seg = cell_segment_sample(
+                    np.asarray(ds_in[sample, k]),
+                    inference_config.grow_distance,
+                    inference_config.shrink_distance,
+                    inference_config.min_size,
+                )
             ds_out[sample, k] = seg.astype(np.uint16)
 
         jobs = list(
-            itertools.product(
-                range(meta.num_samples), range(inference_config.num_bandwidths)
+            enumerate(
+                itertools.product(
+                    range(meta.num_samples),
+                    range(inference_config.num_bandwidths),
+                )
             )
         )
         from .utils.progress import progress as _progress
 
-        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+        workers = max(2, min(len(devices), len(jobs)))
+        with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
             list(_progress(pool.map(one, jobs), "segment", total=len(jobs)))
     else:  # nucleus
         from .utils.progress import progress as _progress

@@ -75,3 +75,33 @@ def test_sharded_tiled_inference_matches_single_device():
         spec, params, raw, ic, 1.0, sample_seed=0, mesh=make_mesh(8)
     )
     np.testing.assert_allclose(out_single, out_sharded, atol=1e-5, rtol=1e-5)
+
+
+def test_stage_device_round_robin_matches_serial():
+    """detect/segment pinned to different devices produce bit-identical
+    results: the per-sample kernels are device-independent, so the stage
+    round-robin (detect.py/segment.py/pipeline.py) only changes WHERE each
+    sample runs."""
+    import jax
+    import numpy as np
+
+    from cellulus_tpu.configs import InferenceConfig
+    from cellulus_tpu.detect import detect_sample, sample_rng
+    from cellulus_tpu.segment import cell_segment_sample
+
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(3, 64, 64)).astype(np.float32)
+    emb[2] = np.abs(emb[2])
+    ic = InferenceConfig(
+        crop_size=[52, 52], bandwidth=4.0, min_size=4, num_bandwidths=1
+    )
+
+    results = []
+    for dev in (jax.devices()[0], jax.devices()[-1]):
+        with jax.default_device(dev):
+            _, _, _, det = detect_sample(emb, ic, 2, sample_rng(7, 0))
+            seg = cell_segment_sample(det[0], ic.grow_distance,
+                                      ic.shrink_distance, ic.min_size)
+        results.append((det, seg))
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    np.testing.assert_array_equal(results[0][1], results[1][1])
