@@ -101,3 +101,19 @@ dataset_name = "train"
     out = np.asarray(predict(tiles, keys))
     assert out.shape == (2, 36, 36, 3)
     assert np.isfinite(out).all()
+
+
+def test_cross_platform_export(tmp_path):
+    """A CPU host can lower a multi-platform (tpu+cpu) artifact and still
+    run it locally — the CI-builds-TPU-artifacts claim in docs/serving.md."""
+    spec, params, ic = _setup()
+    out = export_predictor(
+        spec, params, ic, tmp_path / "multi", platforms=("cpu", "tpu")
+    )
+    meta = json.loads((out / META_NAME).read_text())
+    assert set(meta["platforms"]) == {"cpu", "tpu"}
+    predict, _ = load_predictor(out)
+    tiles = jnp.zeros((2, 52, 52, 1), jnp.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(2, dtype=jnp.uint32))
+    got = np.asarray(predict(tiles, keys))
+    assert got.shape == (2, 36, 36, 3) and np.isfinite(got).all()
