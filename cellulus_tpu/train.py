@@ -952,11 +952,11 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             # per-iteration exact. Checkpoints/snapshots use end-of-chunk
             # state (see TrainConfig.steps_per_dispatch docs).
             multi = jax.jit(make_multi_step(step_fn), donate_argnums=(0, 1))
-            it = start_iteration
-            while it < train_config.max_iterations:
-                k_eff = min(K, train_config.max_iterations - it)
+
+            def stage_chunk(it_start: int):
+                """Sample + ship one K-chunk."""
+                k_eff = min(K, train_config.max_iterations - it_start)
                 chunk = [next(batches) for _ in range(k_eff)]
-                raw_np_last = chunk[-1][0]
                 raw_K = put_stacked(
                     np.ascontiguousarray(
                         np.moveaxis(np.stack([b[0] for b in chunk]), 2, -1)
@@ -965,7 +965,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                 if key_driven:
                     keys = jax.vmap(
                         lambda i: jax.random.fold_in(base_key, i)
-                    )(jnp.arange(it, it + k_eff))
+                    )(jnp.arange(it_start, it_start + k_eff))
                     stacked = (raw_K, keys)
                 else:
                     stacked = (
@@ -973,6 +973,17 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                         put_stacked(np.stack([b[1] for b in chunk])),
                         put_stacked(np.stack([b[2] for b in chunk])),
                     )
+                return k_eff, chunk[-1][0], stacked
+
+            # NOTE: a double-buffered variant (stage chunk k+1 between
+            # dispatching chunk k and fetching its losses) was measured
+            # SLOWER over the tunnel — 118-122 vs 159 samples/s streaming,
+            # reproducibly — the queued h2d delays the loss d2h on the
+            # single tunnel channel. Real PCIe hosts overlap transfers in
+            # hardware, so the simple order stays.
+            it = start_iteration
+            while it < train_config.max_iterations:
+                k_eff, raw_np_last, stacked = stage_chunk(it)
                 params, opt_state, losses, oces = multi(
                     params, opt_state, *stacked
                 )
