@@ -312,7 +312,7 @@ def main():
     # best of BENCH_REPS runs per path: the tunneled chip's d2h bandwidth
     # jitters by >2x run-to-run; best-of-N reads through the noise to the
     # pipeline's actual capability (labeled as such in the JSON)
-    REPS = int(os.environ.get("BENCH_REPS", "2"))
+    REPS = int(os.environ.get("BENCH_REPS", "3"))
     total = None
     for rep in range(REPS):
         if out_container.exists():
