@@ -84,6 +84,14 @@ class TrainConfig:
             set e.g. ``[62500, 93750]`` to reproduce the paper schedule at
             batch 8 on a 25k-sample epoch.
         lr_decay_factor: Multiplier applied at each milestone (paper: 0.1).
+        remat: [tpu extension] Rematerialize conv-pass activations in the
+            backward pass (``jax.checkpoint``): peak activation memory
+            drops to one pass's inputs at the cost of re-running forward
+            convs during backward — for large-volume (3D) or large-batch
+            crops that otherwise exceed HBM. Gradients identical (tested).
+            Effective on the TPU backend (recompute verified present in
+            the compiled HLO); XLA's CPU pipeline CSEs the recompute away,
+            so it is a no-op on CPU.
         packed_dw: [tpu extension, EXPERIMENTAL — measured slower on v5e]
             Compute conv filter gradients as packed matmuls
             (ops/conv_vjp.py) instead of XLA's conv-backprop-filter.
@@ -131,6 +139,7 @@ class TrainConfig:
     pair_count_mode: str = "reference"
     elastic_on_device: bool = False
     packed_dw: bool = False
+    remat: bool = False
 
     def __post_init__(self) -> None:
         self.train_data_config = as_config(DatasetConfig, self.train_data_config)

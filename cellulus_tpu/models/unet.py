@@ -243,6 +243,7 @@ def forward(
     compute_dtype=jnp.float32,
     fused_conv_pass: bool = False,
     packed_dw: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """U-Net + head forward pass.
 
@@ -255,6 +256,12 @@ def forward(
             (:mod:`cellulus_tpu.ops.conv_vjp`) — identical forward and
             gradients; EXPERIMENTAL, measured slower than XLA's native
             filter-grad on v5e (see conv_vjp.py docstring).
+        remat: rematerialize each conv pass's activations in the backward
+            pass (``jax.checkpoint``): peak activation memory drops from
+            all intermediate conv outputs to one pass's inputs, at the
+            cost of re-running forward convs during the backward — the
+            standard trade for large-batch / large-volume (3D) training
+            crops that otherwise exceed HBM. Gradients are identical.
 
     Returns:
         Offsets ``(B, *spatial_out, out_channels)``; channel order is
@@ -276,6 +283,11 @@ def forward(
 
     else:
         pass_fn = partial(_conv_pass, packed_dw=packed_dw)
+
+    if remat:
+        # checkpoint at conv-pass granularity: each pass's four conv
+        # activations are recomputed in the backward instead of stored
+        pass_fn = jax.checkpoint(pass_fn, static_argnums=(2, 3))
 
     x = raw
     skips = []

@@ -86,6 +86,7 @@ def make_train_step(
     compute_dtype=jnp.float32,
     input_scale=None,
     packed_dw: bool = False,
+    remat: bool = False,
 ):
     """Build the jittable train step.
 
@@ -97,7 +98,7 @@ def make_train_step(
         raw = _prep_raw(raw, input_scale, compute_dtype)
 
         def loss_fn(p):
-            offsets = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw)
+            offsets = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw, remat=remat)
             e_anchor = select_and_add_coordinates(offsets, anchors)
             e_reference = select_and_add_coordinates(offsets, references)
             loss, oce, reg = oce_loss(
@@ -125,6 +126,7 @@ def make_train_step_fused(
     compute_dtype=jnp.float32,
     input_scale=None,
     packed_dw: bool = False,
+    remat: bool = False,
 ):
     """Train step with ON-DEVICE pair sampling fused into the jit region.
 
@@ -149,7 +151,7 @@ def make_train_step_fused(
         B, A, R, D = references.shape
 
         def loss_fn(p):
-            offsets = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw)
+            offsets = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw, remat=remat)
             e_anchor = select_and_add_coordinates(offsets, anchors)  # (B,A,D)
             e_reference = select_and_add_coordinates(
                 jax.lax.stop_gradient(offsets), references.reshape(B, A * R, D)
@@ -182,6 +184,7 @@ def make_train_step_dense(
     compute_dtype=jnp.float32,
     input_scale=None,
     packed_dw: bool = False,
+    remat: bool = False,
 ):
     """Gather-free train step: the pair loss as dense shifted-field slices.
 
@@ -240,7 +243,7 @@ def make_train_step_dense(
         n_anchor_samples = jnp.maximum(jnp.sum(mask), 1.0)
 
         def loss_fn(p):
-            field = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw)  # (B, *out, D)
+            field = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw, remat=remat)  # (B, *out, D)
             e = field + coord_grid
             e_sg = jax.lax.stop_gradient(e)
             # anchor block: rows/cols [k, out-k)
@@ -291,6 +294,7 @@ def make_train_step_grid(
     compute_dtype=jnp.float32,
     input_scale=None,
     packed_dw: bool = False,
+    remat: bool = False,
 ):
     """Stratified-anchor train step: no gather and no scatter on the live
     gradient path.
@@ -345,7 +349,7 @@ def make_train_step_grid(
         references = anchors[:, :, None, :] + offsets_table[idx]  # (B,A,R,D)
 
         def loss_fn(p):
-            offsets = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw)  # (B,*out,D)
+            offsets = forward(spec, p, raw, compute_dtype, packed_dw=packed_dw, remat=remat)  # (B,*out,D)
             # anchor embeddings by strided slicing (gather-free)
             start = (jnp.int32(0),) + tuple(
                 k + jitter[d] for d in range(ndim)
@@ -733,6 +737,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             compute_dtype,
             input_scale=input_scale,
             packed_dw=train_config.packed_dw,
+            remat=train_config.remat,
         )
     elif getattr(train_config, "loss_mode", "pairs") == "dense":
         step = make_train_step_dense(
@@ -745,6 +750,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             compute_dtype,
             input_scale=input_scale,
             packed_dw=train_config.packed_dw,
+            remat=train_config.remat,
         )
     elif train_config.device_pair_sampling:
         step = make_train_step_fused(
@@ -757,6 +763,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             compute_dtype,
             input_scale=input_scale,
             packed_dw=train_config.packed_dw,
+            remat=train_config.remat,
         )
     else:
         step = make_train_step(
@@ -767,6 +774,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             compute_dtype,
             input_scale=input_scale,
             packed_dw=train_config.packed_dw,
+            remat=train_config.remat,
         )
     if train_config.elastic_on_device and train_config.elastic_deform:
         # compose the on-device warp in front of the (key-driven) step: the

@@ -140,3 +140,28 @@ def test_tta_embeddings_shape_and_determinism():
     assert float(out[..., -1].min()) >= 0.0
     out2 = tta_embeddings(spec, params, raw, jax.random.PRNGKey(5), 0.01, 2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_remat_grads_identical():
+    """jax.checkpoint rematerialization changes memory, not math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cellulus_tpu.models import UNetSpec, forward, init_params
+
+    spec = UNetSpec(1, 2, 8, 2, 12, ((2, 2),), 2)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    raw = jnp.asarray(
+        np.random.default_rng(2).random((2, 60, 60, 1)), jnp.float32
+    )
+
+    def loss(p, remat):
+        return jnp.sum(forward(spec, p, raw, jnp.float32, remat=remat) ** 2)
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_remat = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_plain), jax.tree_util.tree_leaves(g_remat)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
