@@ -259,8 +259,15 @@ class Array:
         if not p.exists():
             chunk = np.full(self.chunks, self.fill_value, dtype=self.dtype)
         else:
-            raw = _decompress(p.read_bytes(), self.compressor)
-            chunk = np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks)
+            try:
+                raw = _decompress(p.read_bytes(), self.compressor)
+                chunk = np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks)
+            except Exception as e:
+                raise RuntimeError(
+                    f"corrupt zarr chunk {p} (expected "
+                    f"{int(np.prod(self.chunks))} x {self.dtype} after "
+                    f"decompression): {type(e).__name__}: {e}"
+                ) from e
         chunk.flags.writeable = False  # cached copies are shared, keep immutable
         _chunk_cache.put(key, chunk)
         return chunk

@@ -45,7 +45,14 @@ def load_checkpoint(path: Path) -> Dict[str, Any]:
         from ..models.torch_import import load_torch_checkpoint
 
         return load_torch_checkpoint(path)
-    return serialization.msgpack_restore(path.read_bytes())
+    try:
+        return serialization.msgpack_restore(path.read_bytes())
+    except Exception as e:
+        raise ValueError(
+            f"corrupt or truncated checkpoint {path} "
+            f"({type(e).__name__}: {e}); if this was written by the "
+            "reference implementation, name it with a .pth suffix"
+        ) from e
 
 
 def save_model(

@@ -79,3 +79,34 @@ def test_fill_value_unwritten_chunks(tmp_path):
     out = ds[...]
     assert out[:4, :4].sum() == 16
     assert out[4:, 4:].sum() == 0
+
+
+def test_corrupt_chunk_names_the_file(tmp_path):
+    """A corrupt chunk raises an error naming the chunk path, not a bare
+    zlib/msgpack internal message."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from cellulus_tpu.io import zarr
+
+    f = zarr.open(tmp_path / "c.zarr", "a")
+    f["x"] = np.arange(100, dtype=np.float32).reshape(10, 10)
+    arr_dir = tmp_path / "c.zarr" / "x"
+    chunk = next(p for p in arr_dir.iterdir() if not p.name.startswith("."))
+    chunk.write_bytes(b"garbage!")
+    g = zarr.open(tmp_path / "c.zarr", "r")
+    with pytest.raises(RuntimeError, match=str(chunk.name)):
+        np.asarray(g["x"][:])
+
+
+def test_corrupt_checkpoint_names_the_file(tmp_path):
+    import pytest
+
+    from cellulus_tpu.utils.checkpoint import load_checkpoint
+
+    p = tmp_path / "bad.ckpt"
+    p.write_bytes(b"\x82\xa4iter")
+    with pytest.raises(ValueError, match="bad.ckpt"):
+        load_checkpoint(p)
