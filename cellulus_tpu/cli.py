@@ -137,7 +137,7 @@ def main(argv=None) -> None:
         rest = [args.config_file, args.output_dir]
         if args.platforms:
             rest += ["--platforms", args.platforms]
-        if args.tile_batch:
+        if args.tile_batch is not None:
             rest += ["--tile-batch", str(args.tile_batch)]
         export(rest)
     else:

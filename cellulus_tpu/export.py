@@ -41,6 +41,7 @@ def export_predictor(
     path,
     tile_batch_size: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
+    normalization_factor: Optional[float] = None,
 ) -> Path:
     """Serialize the batched-TTA tile predictor for serving.
 
@@ -56,6 +57,12 @@ def export_predictor(
         platforms: lowering platforms (e.g. ``("tpu", "cpu")``); defaults
             to the current backend. Cross-platform export lets a CPU host
             build TPU serving artifacts.
+        normalization_factor: the scale the pipeline multiplies raw
+            intensities by BEFORE the device program (predict.py applies
+            it host-side). Recorded in the sidecar so a serving fleet can
+            reproduce the preprocessing;
+            :func:`export_from_experiment` resolves it from the config or
+            the dataset dtype automatically.
 
     Returns:
         The artifact directory path.
@@ -70,7 +77,11 @@ def export_predictor(
     geometry = compute_geometry(crop_size, spec.downsampling_factors)
     out_tile = geometry.output_size
     in_tile = tuple(o + 2 * c for o, c in zip(out_tile, geometry.context))
-    T = int(tile_batch_size or ic.tile_batch_size)
+    if tile_batch_size is not None and int(tile_batch_size) < 1:
+        raise ValueError(f"tile_batch_size must be >= 1, got {tile_batch_size}")
+    T = int(
+        tile_batch_size if tile_batch_size is not None else ic.tile_batch_size
+    )
     compute_dtype = (
         jnp.bfloat16 if getattr(ic, "precision", "float32") == "bfloat16"
         else jnp.float32
@@ -115,6 +126,13 @@ def export_predictor(
         "num_infer_iterations": int(ic.num_infer_iterations),
         "p_salt_pepper": float(ic.p_salt_pepper),
         "platforms": list(exported.platforms),
+        # tiles fed to predict() must be raw intensities times this factor
+        # (null = caller must normalize to the training scale themselves)
+        "normalization_factor": (
+            float(normalization_factor)
+            if normalization_factor is not None
+            else None
+        ),
     }
     (out_dir / META_NAME).write_text(json.dumps(meta, indent=2))
     return out_dir
@@ -139,14 +157,25 @@ def load_predictor(path):
 
 def export_from_experiment(experiment_config, path, **kwargs) -> Path:
     """Export straight from a TOML-level config: builds the spec, loads the
-    checkpoint named by ``model_config.checkpoint``, and serializes."""
-    from .io import DatasetMetaData
+    checkpoint named by ``model_config.checkpoint``, and serializes. The
+    normalization factor is resolved like the live pipeline does
+    (config value, else derived from the dataset dtype) and recorded in
+    the sidecar."""
+    from .datasets import normalization_factor_for
+    from .io import DatasetMetaData, zarr
     from .models import spec_from_config
     from .utils.checkpoint import load_checkpoint
 
-    meta = DatasetMetaData.from_dataset_config(
-        experiment_config.inference_config.dataset_config
-    )
+    dataset_config = experiment_config.inference_config.dataset_config
+    meta = DatasetMetaData.from_dataset_config(dataset_config)
+    if "normalization_factor" not in kwargs:
+        nf = experiment_config.normalization_factor
+        if nf is None:
+            raw_ds = zarr.open(dataset_config.container_path, "r")[
+                dataset_config.dataset_name
+            ]
+            nf = normalization_factor_for(raw_ds.dtype)
+        kwargs["normalization_factor"] = nf
     spec = spec_from_config(
         experiment_config.model_config,
         in_channels=meta.num_channels,

@@ -44,16 +44,8 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _dimension_numbers(ndim: int) -> lax.ConvDimensionNumbers:
-    if ndim == 2:
-        return lax.conv_dimension_numbers(
-            (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
-        )
-    if ndim == 3:
-        return lax.conv_dimension_numbers(
-            (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
-        )
-    raise ValueError(f"unsupported spatial ndim {ndim}")
+# canonical channels-last conv layout lives with the model
+from ..models.unet import _dimension_numbers  # noqa: E402
 
 
 def _plain_conv(x: jnp.ndarray, w: jnp.ndarray, ndim: int) -> jnp.ndarray:

@@ -72,11 +72,21 @@ def initialize(
     # deliberately narrow triggers: TPU-VM metadata vars exist on single-host
     # setups too, so only an explicit coordinator address (argument or env)
     # or the opt-in flag starts cluster negotiation
-    env_driven = "JAX_COORDINATOR_ADDRESS" in os.environ or os.environ.get(
-        "CELLULUS_TPU_DISTRIBUTED"
+    flag = os.environ.get("CELLULUS_TPU_DISTRIBUTED", "")
+    env_driven = "JAX_COORDINATOR_ADDRESS" in os.environ or flag.lower() in (
+        "1",
+        "true",
+        "yes",
     )
     if not explicit and not env_driven:
         return
+    # jax reads JAX_COORDINATOR_ADDRESS itself but discovers process
+    # count/id only through cluster plugins (SLURM/TPU-pod/K8s); support
+    # hand-rolled clusters through the matching env names
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

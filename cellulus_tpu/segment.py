@@ -74,6 +74,14 @@ def cell_segment_sample(
     """Fused "cell"-mode post-processing: halo removal + CC + size filter +
     relabel in a single device dispatch. Output identical to
     ``size_filter(remove_halo(seg), min_size)``."""
+    if segmentation.dtype != np.uint16 and segmentation.size:
+        lo, hi = segmentation.min(), segmentation.max()
+        if lo < 0 or hi > np.iinfo(np.uint16).max:
+            raise ValueError(
+                f"cell_segment_sample needs uint16-range labels, got "
+                f"[{lo}, {hi}] in dtype {segmentation.dtype} — ids above "
+                "65535 would alias after the device-kernel cast"
+            )
     seg = np.ascontiguousarray(segmentation, dtype=np.uint16)
     labels = _cell_segment_kernel(
         float(grow_distance), float(shrink_distance), int(min_size)

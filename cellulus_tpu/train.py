@@ -444,6 +444,18 @@ def unpack_opt_state(state: Dict[str, Any], template_opt_state: Any) -> Any:
     treedef = jax.tree_util.tree_structure(template_opt_state)
     template_leaves = jax.tree_util.tree_leaves(template_opt_state)
     if len(leaves) != len(template_leaves):
+        # optimizer STRUCTURE changed vs the checkpoint (e.g. lr_milestones
+        # toggled: scale <-> scale_by_schedule adds a count leaf). Starting
+        # from fresh moments is the only safe option, but it must not be
+        # silent — Adam moments reset AND any schedule count restarts at 0
+        # (milestones then fire relative to the RESUME point)
+        print(
+            f"WARNING: checkpoint optimizer state has {len(leaves)} arrays "
+            f"but the configured optimizer expects {len(template_leaves)} "
+            "(optimizer config changed since the checkpoint?); optimizer "
+            "state reinitialized — Adam moments reset, lr_milestones count "
+            "restarts at the resume iteration"
+        )
         return template_opt_state
     # msgpack restores dict-valued leaves lists; coerce dtypes to template
     if isinstance(leaves, dict):
@@ -520,10 +532,13 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     """Run training as configured. Returns the final state dict."""
     import cellulus_tpu
 
-    cellulus_tpu.enable_compilation_cache()
     from .parallel import distributed as dist
 
+    # cluster negotiation MUST precede any backend touch —
+    # enable_compilation_cache() calls jax.default_backend(), which
+    # initializes XLA and makes jax.distributed.initialize impossible
     dist.initialize()  # no-op unless a coordinator is configured
+    cellulus_tpu.enable_compilation_cache()
     multi_process = dist.process_count() > 1
     if dist.is_primary():
         print(experiment_config)

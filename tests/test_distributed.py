@@ -25,13 +25,23 @@ os.chdir(workdir)
 sys.path.insert(0, {repo!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
-from cellulus_tpu.parallel import distributed as dist
-dist.initialize(f"localhost:{{port}}", num_processes=2, process_id=proc_id)
-assert jax.process_count() == 2, jax.process_count()
-assert len(jax.devices()) == 2, jax.devices()
+if proc_id == 0:
+    # explicit-args path: initialize before train
+    from cellulus_tpu.parallel import distributed as dist
+    dist.initialize(f"localhost:{{port}}", num_processes=2, process_id=proc_id)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 2, jax.devices()
+else:
+    # env-driven path: train() itself must run dist.initialize() BEFORE
+    # touching the backend (regression: enable_compilation_cache used to
+    # initialize XLA first and break jax.distributed.initialize)
+    os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{{port}}"
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = str(proc_id)
 from cellulus_tpu.configs import ExperimentConfig
 from cellulus_tpu.train import train
 state = train(ExperimentConfig.from_toml("train.toml"))
+assert jax.process_count() == 2, jax.process_count()
 print("WORKER_DONE", proc_id, float(state["lowest_loss"]))
 """
 

@@ -96,6 +96,13 @@ dataset_name = "train"
     main(["export", str(cfg_path), str(out_dir)])
     predict, meta = load_predictor(out_dir)
     assert meta["num_infer_iterations"] == 2
+    # the preprocessing scale is resolved from the dataset dtype and
+    # recorded so a serving fleet can reproduce the pipeline's inputs
+    from cellulus_tpu.datasets import normalization_factor_for
+    from cellulus_tpu.io import zarr as cz
+
+    raw_dtype = cz.open(str(blob_container_2d), "r")["train"].dtype
+    assert meta["normalization_factor"] == normalization_factor_for(raw_dtype)
     tiles = jnp.zeros((2, 52, 52, 1), jnp.float32)
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(2, dtype=jnp.uint32))
     out = np.asarray(predict(tiles, keys))
