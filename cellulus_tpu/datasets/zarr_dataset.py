@@ -240,6 +240,14 @@ class ConcatDataset:
         return self.datasets[0].num_spatial_dims
 
 
+class _WorkerFailure:
+    """Sentinel carrying a data-worker exception to the consumer thread."""
+
+    def __init__(self, worker_id: int, error: BaseException):
+        self.worker_id = worker_id
+        self.error = error
+
+
 class BatchLoader:
     """Thread-prefetched, DETERMINISTIC batch collation over a
     :class:`ZarrDataset`.
@@ -276,13 +284,26 @@ class BatchLoader:
         self._rr = 0  # round-robin cursor
 
     def _worker(self, worker_id: int) -> None:
-        it = self.dataset.iterate(self.dataset.seed + 1000 * (worker_id + 1))
         q = self._queues[worker_id]
-        while not self._stop.is_set():
-            item = next(it)
+        try:
+            it = self.dataset.iterate(
+                self.dataset.seed + 1000 * (worker_id + 1)
+            )
+            while not self._stop.is_set():
+                item = next(it)
+                while not self._stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            # a dead worker must not hang the round-robin consumer forever:
+            # deliver the failure through the queue so __iter__ re-raises
+            # it in the training loop with its original traceback
             while not self._stop.is_set():
                 try:
-                    q.put(item, timeout=0.5)
+                    q.put(_WorkerFailure(worker_id, e), timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -303,7 +324,13 @@ class BatchLoader:
         while True:
             items = []
             for _ in range(self.batch_size):
-                items.append(self._queues[self._rr].get())
+                item = self._queues[self._rr].get()
+                if isinstance(item, _WorkerFailure):
+                    self.stop()
+                    raise RuntimeError(
+                        f"data worker {item.worker_id} failed"
+                    ) from item.error
+                items.append(item)
                 self._rr = (self._rr + 1) % self.num_workers
             yield tuple(np.stack(field) for field in zip(*items))
 

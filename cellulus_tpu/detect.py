@@ -197,8 +197,14 @@ def sample_rng(seed: int, sample: int) -> np.random.Generator:
 
 
 def _spatial_attrs(meta: DatasetMetaData) -> dict:
+    # carry the INPUT's spatial axis names through (a movie's 't' axis must
+    # not come out relabeled 'z'); fall back to zyx naming when the input
+    # metadata lacks usable names
+    spatial = [n for n in getattr(meta, "axis_names", []) if n not in ("s", "c")]
+    if len(spatial) != meta.num_spatial_dims:
+        spatial = ["t", "z", "y", "x"][-meta.num_spatial_dims:]
     return {
-        "axis_names": ["s", "c"] + ["t", "z", "y", "x"][-meta.num_spatial_dims :],
+        "axis_names": ["s", "c"] + spatial,
         "resolution": [1] * meta.num_spatial_dims,
         "offset": [0] * meta.num_spatial_dims,
     }

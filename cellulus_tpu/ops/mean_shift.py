@@ -24,7 +24,7 @@ Replicated sklearn behaviors (validated by parity tests against sklearn):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -369,38 +369,49 @@ def mean_shift_sweep_fit_predict(
         chunk_p //= 2
     X_all = jnp.asarray(_pad_rows(X, Np_pad))
 
-    # the K clustering problems fit AND predict as one vmapped dispatch
-    vmapped = jax.vmap(
-        lambda s, sv, bw: _fit_predict_kernel(
-            X_pad, x_valid, s, sv, X_all, bw,
-            max_iter=max_iter, chunk_fit=chunk, chunk_pred=chunk_p,
-            use_pallas=False,
-        )
-    )
     seeds_j = jnp.asarray(seeds_arr)
     sv_j = jnp.asarray(seeds_valid)
     bw_j = jnp.asarray(bandwidths, jnp.float32)
 
     n_dev = mesh.devices.size if mesh is not None else 1
-    if mesh is not None and n_dev > 1 and K % n_dev == 0:
-        # shard the K bandwidths over the mesh: each device clusters its
-        # local bandwidths independently (point set replicated, no
-        # cross-device communication)
+    sharded = mesh is not None and n_dev > 1 and K % n_dev == 0
+    sweep = _sweep_kernel(
+        max_iter, chunk, chunk_p, mesh if sharded else None
+    )
+    labels_u16 = sweep(X_pad, x_valid, seeds_j, sv_j, X_all, bw_j)
+    return np.asarray(labels_u16[:, :n]).astype(np.int32) - 1
+
+
+@lru_cache(maxsize=None)
+def _sweep_kernel(max_iter: int, chunk_fit: int, chunk_pred: int, mesh):
+    """Jitted K-bandwidth sweep, cached across samples: per-call data (the
+    point set, seeds, bandwidths) enters as arguments, so the jit cache
+    hits for every sample of the same padded shape instead of retracing
+    (and recompiling) per call. With a mesh, the K problems shard over
+    ``data`` — each device clusters its local bandwidths independently
+    (point set replicated, no cross-device communication)."""
+
+    def one(X_pad, x_valid, s, sv, X_all, bw):
+        return _fit_predict_kernel(
+            X_pad, x_valid, s, sv, X_all, bw,
+            max_iter=max_iter, chunk_fit=chunk_fit, chunk_pred=chunk_pred,
+            use_pallas=False,
+        )
+
+    vmapped = jax.vmap(one, in_axes=(None, None, 0, 0, None, 0))
+    if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
-        sweep = jax.jit(
+        return jax.jit(
             jax.shard_map(
                 vmapped,
                 mesh=mesh,
-                in_specs=(P("data"), P("data"), P("data")),
+                in_specs=(P(), P(), P("data"), P("data"), P(), P("data")),
                 out_specs=P("data"),
                 check_vma=False,
             )
         )
-    else:
-        sweep = jax.jit(vmapped)
-    labels_u16 = sweep(seeds_j, sv_j, bw_j)
-    return np.asarray(labels_u16[:, :n]).astype(np.int32) - 1
+    return jax.jit(vmapped)
 
 
 # ---------------------------------------------------------------------------

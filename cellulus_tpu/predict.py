@@ -380,10 +380,6 @@ def predict(
         for fut in futures:
             fut.result()
 
-    ds.attrs.update(
-        {
-            "axis_names": ["s", "c"] + ["t", "z", "y", "x"][-meta.num_spatial_dims :],
-            "resolution": [1] * meta.num_spatial_dims,
-            "offset": [0] * meta.num_spatial_dims,
-        }
-    )
+    from .detect import _spatial_attrs
+
+    ds.attrs.update(_spatial_attrs(meta))

@@ -154,13 +154,9 @@ def segment(inference_config: InferenceConfig) -> None:
         ),
         dtype=np.uint16,
     )
-    ds_out.attrs.update(
-        {
-            "axis_names": ["s", "c"] + ["t", "z", "y", "x"][-meta.num_spatial_dims :],
-            "resolution": [1] * meta.num_spatial_dims,
-            "offset": [0] * meta.num_spatial_dims,
-        }
-    )
+    from .detect import _spatial_attrs
+
+    ds_out.attrs.update(_spatial_attrs(meta))
 
     if inference_config.post_processing == "cell":
         # (sample, bandwidth) jobs are independent single-dispatch device

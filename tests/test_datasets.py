@@ -153,3 +153,24 @@ def test_time_axis_dataset_trains_as_pseudo_volume(tmp_path, monkeypatch):
     )
     state = cellulus_tpu.train(config)
     assert np.isfinite(state["logger_data"]["loss"]).all()
+
+
+def test_batchloader_worker_failure_propagates():
+    """A dying data worker must fail the training loop, not hang it."""
+    import pytest
+
+    from cellulus_tpu.datasets.zarr_dataset import BatchLoader
+
+    class ExplodingDataset:
+        seed = 0
+
+        def iterate(self, seed):
+            def gen():
+                yield from ()  # immediately raises StopIteration via next()
+
+            return gen()
+
+    loader = BatchLoader(ExplodingDataset(), batch_size=2, num_workers=2)
+    with loader:
+        with pytest.raises(RuntimeError, match="data worker"):
+            next(iter(loader))
