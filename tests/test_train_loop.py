@@ -197,3 +197,47 @@ def test_lr_milestones_schedule():
     assert np.isclose(seen[1] / seen[0], 1.0, rtol=0.2)
     assert np.isclose(seen[2] / seen[1], 0.1, rtol=0.2)
     assert np.isclose(seen[4] / seen[3], 0.1, rtol=0.2)
+
+
+def test_steps_per_dispatch_checkpoint_boundary_semantics(
+    blob_container_2d, tmp_path, monkeypatch
+):
+    """With K > 1, a cadence point landing mid-chunk is saved at the CHUNK
+    BOUNDARY with params matching that iteration (regression: the old code
+    saved end-of-chunk params under the mid-chunk iteration number, so
+    resume double-applied up to K-1 steps)."""
+    import jax
+    import pathlib
+
+    from cellulus_tpu.utils.checkpoint import load_checkpoint
+
+    monkeypatch.chdir(tmp_path)
+    base = dict(steps_per_dispatch=3, num_workers=0)
+
+    # run A: 6 iterations, no mid-run checkpoints -> final params are the
+    # ground truth for "params after iteration 5"
+    full = cellulus_tpu.train(
+        _config(blob_container_2d, max_iterations=6, **base)
+    )
+
+    # run B: identical seeds/data, but save_model_every=4 fires INSIDE the
+    # chunk [3..5] -> must be recorded at the boundary iteration 5
+    import shutil
+
+    shutil.rmtree("models", ignore_errors=True)
+    cellulus_tpu.train(
+        _config(
+            blob_container_2d, max_iterations=6, save_model_every=4, **base
+        )
+    )
+    names = sorted(p.name for p in pathlib.Path("models").glob("0*.ckpt"))
+    assert "000005.ckpt" in names and "000004.ckpt" not in names, names
+
+    state = load_checkpoint("models/000005.ckpt")
+    assert state["iteration"] == 5
+    # params recorded under iteration 5 == run A's params after iteration 5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state["params"]),
+        jax.tree_util.tree_leaves(full["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
