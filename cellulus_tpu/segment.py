@@ -115,26 +115,34 @@ def nucleus_partition(
     segmentation: np.ndarray, raw_image: np.ndarray
 ) -> np.ndarray:
     """Per-instance intensity Otsu + hole filling ("nucleus" mode,
-    reference ``segment.py:52-101``)."""
+    reference ``segment.py:52-101``).
+
+    All per-instance work is confined to the instance's bounding box
+    (``scipy.ndimage.find_objects``, one pass): the reference's loop scans
+    the FULL image per id (``segmentation == id_`` at
+    reference ``segment.py:60``), O(ids x pixels) — same outputs,
+    O(pixels + sum of bbox areas) here.
+    """
+    from scipy.ndimage import find_objects
+
     out = np.zeros_like(segmentation)
-    ids = np.unique(segmentation)
-    ids = ids[ids != 0]
-    for id_ in ids:
-        id_mask = segmentation == id_
-        coords = np.nonzero(id_mask)
-        bbox = tuple(
-            slice(int(c.min()), int(c.max()) + 1) for c in coords
-        )
-        values = raw_image[id_mask]
+    seg_int = segmentation.astype(np.int64, copy=False)
+    for idx, bbox in enumerate(find_objects(seg_int)):
+        if bbox is None:
+            continue
+        id_ = idx + 1
+        sub_seg = seg_int[bbox]
+        sub_raw = raw_image[bbox]
+        id_mask = sub_seg == id_
+        values = sub_raw[id_mask]
         if values.max() == values.min():
             mask = id_mask
         else:
             thr = threshold_otsu(values)
-            mask = id_mask & (raw_image > thr)
-        mask_small = binary_fill_holes(mask[bbox])
-        mask = mask.copy()
-        mask[bbox] = mask_small
-        out[mask] = id_
+            mask = id_mask & (sub_raw > thr)
+        # hole filling within the bbox, exactly like the reference's
+        # per-instance binary_fill_holes on the bbox crop
+        out[bbox][binary_fill_holes(mask)] = id_
     return out
 
 

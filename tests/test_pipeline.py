@@ -181,3 +181,48 @@ def test_segment_nucleus_mode():
     out = nucleus_partition(seg, raw)
     assert (out[4:10, 4:10] == 3).all()
     assert out[2, 2] == 0  # dim region dropped
+
+
+def test_nucleus_partition_bbox_equals_reference_loop():
+    """The bbox-confined nucleus partition == the reference's full-image
+    per-id loop, on random multi-instance data with touching instances."""
+    import numpy as np
+
+    from cellulus_tpu.ops.otsu import threshold_otsu
+    from cellulus_tpu.segment import nucleus_partition
+    from scipy.ndimage import binary_fill_holes
+
+    def reference_loop(segmentation, raw_image):
+        out = np.zeros_like(segmentation)
+        ids = np.unique(segmentation)
+        ids = ids[ids != 0]
+        for id_ in ids:
+            id_mask = segmentation == id_
+            coords = np.nonzero(id_mask)
+            bbox = tuple(
+                slice(int(c.min()), int(c.max()) + 1) for c in coords
+            )
+            values = raw_image[id_mask]
+            if values.max() == values.min():
+                mask = id_mask
+            else:
+                thr = threshold_otsu(values)
+                mask = id_mask & (raw_image > thr)
+            mask_small = binary_fill_holes(mask[bbox])
+            mask = mask.copy()
+            mask[bbox] = mask_small
+            out[mask] = id_
+        return out
+
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        seg = np.zeros((60, 60), np.uint16)
+        for id_ in range(1, 9):
+            y, x = rng.integers(0, 44, 2)
+            h, w = rng.integers(6, 16, 2)
+            seg[y : y + h, x : x + w] = id_  # later boxes overwrite: touching
+        raw = rng.random((60, 60)).astype(np.float32)
+        raw[seg > 0] += 1.0  # nuclei brighter than background
+        np.testing.assert_array_equal(
+            nucleus_partition(seg, raw), reference_loop(seg, raw)
+        )
