@@ -282,6 +282,15 @@ class BatchLoader:
         self._stop = threading.Event()
         self._threads = []
         self._rr = 0  # round-robin cursor
+        self._failed = False  # set by a worker that died
+
+    def _put_until_stop(self, q, obj) -> None:
+        while not self._stop.is_set():
+            try:
+                q.put(obj, timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
     def _worker(self, worker_id: int) -> None:
         q = self._queues[worker_id]
@@ -291,22 +300,13 @@ class BatchLoader:
             )
             while not self._stop.is_set():
                 item = next(it)
-                while not self._stop.is_set():
-                    try:
-                        q.put(item, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+                self._put_until_stop(q, item)
         except BaseException as e:  # noqa: BLE001 - re-raised in consumer
             # a dead worker must not hang the round-robin consumer forever:
             # deliver the failure through the queue so __iter__ re-raises
             # it in the training loop with its original traceback
-            while not self._stop.is_set():
-                try:
-                    q.put(_WorkerFailure(worker_id, e), timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+            self._failed = True
+            self._put_until_stop(q, _WorkerFailure(worker_id, e))
 
     def start(self) -> None:
         if self._threads:
@@ -324,7 +324,20 @@ class BatchLoader:
         while True:
             items = []
             for _ in range(self.batch_size):
-                item = self._queues[self._rr].get()
+                # bounded get: a stopped/failed loader must fail fast, not
+                # block forever on queues no live worker will ever fill
+                # (covers re-iteration after a worker failure too)
+                while True:
+                    try:
+                        item = self._queues[self._rr].get(timeout=0.5)
+                        break
+                    except queue.Empty:
+                        if self._stop.is_set() or self._failed:
+                            raise RuntimeError(
+                                "BatchLoader is stopped (a data worker "
+                                "failed or stop() was called); create a "
+                                "new loader to continue"
+                            ) from None
                 if isinstance(item, _WorkerFailure):
                     self.stop()
                     raise RuntimeError(

@@ -196,18 +196,9 @@ def sample_rng(seed: int, sample: int) -> np.random.Generator:
     return np.random.default_rng([int(seed), int(sample)])
 
 
-def _spatial_attrs(meta: DatasetMetaData) -> dict:
-    # carry the INPUT's spatial axis names through (a movie's 't' axis must
-    # not come out relabeled 'z'); fall back to zyx naming when the input
-    # metadata lacks usable names
-    spatial = [n for n in getattr(meta, "axis_names", []) if n not in ("s", "c")]
-    if len(spatial) != meta.num_spatial_dims:
-        spatial = ["t", "z", "y", "x"][-meta.num_spatial_dims:]
-    return {
-        "axis_names": ["s", "c"] + spatial,
-        "resolution": [1] * meta.num_spatial_dims,
-        "offset": [0] * meta.num_spatial_dims,
-    }
+# canonical helper lives beside DatasetMetaData; stage modules import this
+# name for backward compatibility
+from .io.meta_data import spatial_attrs as _spatial_attrs  # noqa: E402
 
 
 def mean_center_embeddings(

@@ -84,3 +84,22 @@ class DatasetMetaData:
                 "attribute\n\n" + _LAYOUT_HELP
             )
         return DatasetMetaData(data.shape, axis_names)
+
+
+def spatial_attrs(meta: "DatasetMetaData") -> dict:
+    """Output-dataset attrs ``(axis_names, resolution, offset)`` for arrays
+    shaped ``(s, c, *spatial)`` derived from ``meta``'s dataset.
+
+    Carries the INPUT's spatial axis names through (a movie's ``t`` axis
+    must not come out relabeled ``z``); falls back to z/y/x naming when the
+    input metadata lacks usable names. Shared by every pipeline stage that
+    writes zarr outputs.
+    """
+    spatial = [n for n in getattr(meta, "axis_names", []) if n not in ("s", "c")]
+    if len(spatial) != meta.num_spatial_dims:
+        spatial = ["t", "z", "y", "x"][-meta.num_spatial_dims:]
+    return {
+        "axis_names": ["s", "c"] + spatial,
+        "resolution": [1] * meta.num_spatial_dims,
+        "offset": [0] * meta.num_spatial_dims,
+    }

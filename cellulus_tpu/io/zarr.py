@@ -30,6 +30,14 @@ from typing import Any, Dict, Iterator, Optional, Sequence, Tuple, Union
 import numpy as np
 
 
+class CorruptChunkError(RuntimeError):
+    """A chunk file exists but cannot be decoded (truncated / corrupted).
+
+    Distinct from layout RuntimeErrors so callers that degrade gracefully
+    on MISSING data (e.g. train's optional validation set) can still fail
+    loudly on data CORRUPTION."""
+
+
 class _ChunkCache:
     """Process-wide LRU cache of decompressed chunks, keyed by
     (array path, chunk index). Training reads the same chunks thousands of
@@ -263,7 +271,7 @@ class Array:
                 raw = _decompress(p.read_bytes(), self.compressor)
                 chunk = np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks)
             except Exception as e:
-                raise RuntimeError(
+                raise CorruptChunkError(
                     f"corrupt zarr chunk {p} (expected "
                     f"{int(np.prod(self.chunks))} x {self.dtype} after "
                     f"decompression): {type(e).__name__}: {e}"
