@@ -57,3 +57,52 @@ def test_train_resume(experiment_config, tmp_path, monkeypatch):
     state = cellulus_tpu.train(experiment_config)
     assert state["iteration"] == 2
     assert len(state["logger_data"]["loss"]) == 3
+
+
+def test_corrupt_validation_data_aborts(blob_container_2d, tmp_path, monkeypatch):
+    """Corrupt validation chunks must abort training loudly — only MISSING
+    validation data degrades to 'validation disabled'."""
+    import shutil
+
+    import pytest
+
+    from cellulus_tpu.configs import ExperimentConfig
+    from cellulus_tpu.io.zarr import CorruptChunkError
+
+    import cellulus_tpu
+
+    monkeypatch.chdir(tmp_path)
+    container = tmp_path / "data.zarr"
+    shutil.copytree(blob_container_2d, container)
+    for chunk in (container / "validate").iterdir():
+        if not chunk.name.startswith("."):
+            chunk.write_bytes(b"garbage")
+
+    config = ExperimentConfig(
+        **{
+            "object_size": 10,
+            "model_config": {
+                "num_fmaps": 6,
+                "fmap_inc_factor": 2,
+                "features_in_last_layer": 8,
+            },
+            "train_config": {
+                "batch_size": 1,
+                "crop_size": [36, 36],
+                "kappa": 6.0,
+                "max_iterations": 1,
+                "num_workers": 0,
+                "elastic_deform": False,
+                "train_data_config": {
+                    "container_path": str(container),
+                    "dataset_name": "train",
+                },
+                "validate_data_config": {
+                    "container_path": str(container),
+                    "dataset_name": "validate",
+                },
+            },
+        }
+    )
+    with pytest.raises(CorruptChunkError):
+        cellulus_tpu.train(config)
