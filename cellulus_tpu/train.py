@@ -657,7 +657,13 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     logger = get_logger(keys=logger_keys, title="loss")
 
     start_iteration = 0
-    lowest_loss = 1e6
+    # DELIBERATE deviation from the reference's `lowest_loss = 1e6`
+    # (reference train.py:89): with that sentinel, any config whose early
+    # mean loss exceeds 1e6 (e.g. default 252^2 crops at density 0.1 —
+    # ~145k pairs/crop sums past 1e6) silently NEVER writes
+    # best_loss.pth, and inference then fails with a missing checkpoint.
+    # Starting from +inf seeds the best checkpoint at the first window.
+    lowest_loss = float("inf")
     if model_config.checkpoint is not None:
         print(f"Resuming model from {model_config.checkpoint}")
         state = load_checkpoint(model_config.checkpoint)

@@ -19,6 +19,8 @@ import numpy as np
 
 HERE = Path(__file__).resolve().parent
 os.chdir(HERE)
+# make the demo runnable from a source checkout without installation
+sys.path.append(str(HERE.parents[1]))
 
 import cellulus_tpu
 from cellulus_tpu.configs import ExperimentConfig
