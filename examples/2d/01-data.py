@@ -7,6 +7,7 @@ datasets in the ``(s, c, y, x)`` layout the pipeline expects.
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tests"))
 from synthetic import make_blob_container
 
