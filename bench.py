@@ -342,8 +342,19 @@ def main():
         np.asarray(zarr.open(out_container, "r")["embeddings"][s], np.float32)
         for s in range(NUM_SAMPLES)
     ]
+    # Untimed pipelined warm-up: the staged loop above already absorbed the
+    # executable-upload tax for the shared kernels, but the pipelined driver
+    # has its own thread/queue startup and any residual compile — pay it
+    # once outside the timed region so the recorded number is steady-state.
+    if out_container.exists():
+        shutil.rmtree(out_container)
+    infer_pipelined(spec, params, ic, 1.0 / 255, jnp.bfloat16)
+    # The pipelined path is the headline (the reference's staged flow is the
+    # baseline architecture; overlap is the point) — give it more reps to
+    # read through the tunnel's >2x d2h jitter.
+    REPS_PIPE = int(os.environ.get("BENCH_REPS_PIPELINED", str(REPS + 2)))
     t_pipelined = None
-    for rep in range(REPS):
+    for rep in range(REPS_PIPE):
         if out_container.exists():
             shutil.rmtree(out_container)
         t0 = time.perf_counter()
@@ -357,9 +368,11 @@ def main():
             t_pipelined = rep_t
     tiles_per_sec_piped = n_tiles / t_pipelined
     log(
-        f"infer (pipelined, best of {REPS}): {tiles_per_sec_piped:.2f} tiles/s"
+        f"infer (pipelined, best of {REPS_PIPE}): "
+        f"{tiles_per_sec_piped:.2f} tiles/s"
     )
-    tiles_per_sec = max(tiles_per_sec, tiles_per_sec_piped)
+    # Headline value IS the pipelined number — no max() flattering.
+    tiles_per_sec = tiles_per_sec_piped
 
     # ---- baseline: reference-style torch-CPU hot path --------------------
     baseline_tps = None
@@ -380,7 +393,8 @@ def main():
                 "value": round(tiles_per_sec, 3),
                 "unit": (
                     "tiles/s (236^2 px output tiles; embed+meanshift+segment;"
-                    " best of BENCH_REPS runs — tunnel d2h jitters >2x;"
+                    " pipelined path, best of BENCH_REPS_PIPELINED runs —"
+                    " tunnel d2h jitters >2x;"
                     " vs_baseline = reference-style torch on THIS HOST'S CPU,"
                     " not the A100 north star)"
                 ),

@@ -305,8 +305,13 @@ class BatchLoader:
             # a dead worker must not hang the round-robin consumer forever:
             # deliver the failure through the queue so __iter__ re-raises
             # it in the training loop with its original traceback
+            failure = _WorkerFailure(worker_id, e)
+            # stash before flagging: a consumer blocked on a DIFFERENT
+            # (healthy but empty) worker's queue hits the timeout path and
+            # must still be able to chain the root-cause traceback
+            self._failure = failure
             self._failed = True
-            self._put_until_stop(q, _WorkerFailure(worker_id, e))
+            self._put_until_stop(q, failure)
 
     def start(self) -> None:
         if self._threads:
@@ -333,6 +338,12 @@ class BatchLoader:
                         break
                     except queue.Empty:
                         if self._stop.is_set() or self._failed:
+                            failure = getattr(self, "_failure", None)
+                            if failure is not None:
+                                self.stop()
+                                raise RuntimeError(
+                                    f"data worker {failure.worker_id} failed"
+                                ) from failure.error
                             raise RuntimeError(
                                 "BatchLoader is stopped (a data worker "
                                 "failed or stop() was called); create a "

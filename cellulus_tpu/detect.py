@@ -17,14 +17,13 @@ from __future__ import annotations
 from functools import lru_cache, partial
 
 import numpy as np
-from scipy.ndimage import gaussian_filter
 
 from .configs import InferenceConfig
 from .io import DatasetMetaData, zarr
 from .ops.greedy_cluster import greedy_cluster
 from .ops.mean_shift import mean_shift_segmentation
 from .ops.otsu import threshold_otsu
-from .ops.peaks import peak_local_max
+from .ops.peaks import smooth_peak_seeds
 
 
 # ---------------------------------------------------------------------------
@@ -328,13 +327,18 @@ def detect_sample(
             spatial[mask] = labels[k]
             detections[k] = (spatial + 1).astype(np.uint16)
     elif inference_config.clustering == "meanshift":
+        seeds = None
+        if inference_config.use_seeds:
+            # seeds depend only on the offset field, not the bandwidth —
+            # computed ONCE (the reference recomputes identical seeds per
+            # bandwidth, reference detect.py:128-132) and on DEVICE
+            # (smoothing + peak mask in one dispatch; scipy oracle kept
+            # for the parity test, tests/test_detect_variants.py)
+            offset_magnitude = np.linalg.norm(centered[:-1], axis=0)
+            seeds = smooth_peak_seeds(offset_magnitude, sigma=2.0)
         for k in range(inference_config.num_bandwidths):
             bandwidth = inference_config.bandwidth / (2**k)
             if inference_config.use_seeds:
-                offset_magnitude = np.linalg.norm(centered[:-1], axis=0)
-                smooth = gaussian_filter(offset_magnitude, sigma=2)
-                coordinates = peak_local_max(-smooth)
-                seeds = np.flip(coordinates, 1).astype(np.float32)
                 segmentation = mean_shift_segmentation(
                     centered[:num_spatial_dims],
                     centered[-1],

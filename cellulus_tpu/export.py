@@ -28,7 +28,6 @@ import json
 from pathlib import Path
 from typing import Optional, Sequence
 
-import numpy as np
 
 ARTIFACT_NAME = "predictor.stablehlo"
 META_NAME = "predictor.json"

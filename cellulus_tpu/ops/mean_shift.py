@@ -382,7 +382,7 @@ def mean_shift_sweep_fit_predict(
     return np.asarray(labels_u16[:, :n]).astype(np.int32) - 1
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=32)
 def _sweep_kernel(max_iter: int, chunk_fit: int, chunk_pred: int, mesh):
     """Jitted K-bandwidth sweep, cached across samples: per-call data (the
     point set, seeds, bandwidths) enters as arguments, so the jit cache

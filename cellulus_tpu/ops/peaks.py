@@ -31,3 +31,102 @@ def peak_local_max(image: np.ndarray, min_distance: int = 1) -> np.ndarray:
     values = image[tuple(coords.T)]
     order = np.argsort(-values, kind="stable")
     return coords[order]
+
+
+# ---------------------------------------------------------------------------
+# Device path: gaussian smoothing (separable shifts) + peak mask (max pool)
+# in ONE jitted dispatch. Replaces the per-sample host scipy
+# gaussian_filter + peak_local_max of the seeded detect variant
+# (reference ``detect.py:128-132``) — on the 1-core host those serialized
+# against every other stage; here only the tiny argwhere stays on host.
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    """scipy.ndimage's kernel: exp(-x^2/(2 sigma^2)) normalized to sum 1."""
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+@lru_cache(maxsize=16)
+def _smooth_peak_kernel(ndim: int, sigma: float, min_distance: int):
+    radius = int(4.0 * sigma + 0.5)  # scipy truncate=4.0 default
+    weights = jnp.asarray(_gaussian_kernel1d(sigma, radius))
+
+    @jax.jit
+    def run(image):
+        # separable gaussian, scipy mode='reflect' == numpy 'symmetric'
+        sm = image
+        for ax in range(ndim):
+            pad = [(0, 0)] * ndim
+            pad[ax] = (radius, radius)
+            p = jnp.pad(sm, pad, mode="symmetric")
+
+            def sl(t):
+                idx = [slice(None)] * ndim
+                idx[ax] = slice(t, t + sm.shape[ax])
+                return p[tuple(idx)]
+
+            # scipy correlate1d's symmetric-kernel order: center tap first,
+            # then paired taps outward — matching its f32 rounding exactly
+            acc = weights[radius] * sl(radius)
+            for k in range(1, radius + 1):
+                acc = acc + weights[radius + k] * (
+                    sl(radius + k) + sl(radius - k)
+                )
+            sm = acc
+        # peaks of the NEGATED smooth field (seeds sit at offset minima):
+        # 3^d max filter with -inf borders (scipy mode='constant', cval=-inf)
+        neg = -sm
+        size = 2 * min_distance + 1
+        padded = jnp.pad(
+            neg,
+            [(min_distance, min_distance)] * ndim,
+            mode="constant",
+            constant_values=-jnp.inf,
+        )
+        maxed = jax.lax.reduce_window(
+            padded,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(size,) * ndim,
+            window_strides=(1,) * ndim,
+            padding="VALID",
+        )
+        mask = neg == maxed
+        # exclude borders of width min_distance (peak_local_max default)
+        interior = jnp.zeros_like(mask)
+        core = tuple(
+            slice(min_distance, s - min_distance) for s in mask.shape
+        )
+        interior = interior.at[core].set(True)
+        return sm, mask & interior
+
+    return run
+
+
+def smooth_peak_seeds(
+    offset_magnitude: np.ndarray, sigma: float = 2.0, min_distance: int = 1
+) -> np.ndarray:
+    """Device-computed mean-shift seeds: ``(P, ndim)`` x-first float32
+    coordinates of the local minima of the gaussian-smoothed offset
+    magnitude, intensity-descending (parity with
+    ``peak_local_max(-gaussian_filter(x, sigma))`` + flip, tested in
+    tests/test_detect_variants.py)."""
+    run = _smooth_peak_kernel(
+        offset_magnitude.ndim, float(sigma), int(min_distance)
+    )
+    sm, mask = run(jnp.asarray(offset_magnitude, jnp.float32))
+    mask = np.asarray(mask)
+    coords = np.argwhere(mask)
+    if len(coords) == 0:
+        return np.zeros((0, offset_magnitude.ndim), np.float32)
+    values = -np.asarray(sm)[tuple(coords.T)]
+    order = np.argsort(-values, kind="stable")
+    return np.flip(coords[order], 1).astype(np.float32)

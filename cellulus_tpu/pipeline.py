@@ -121,6 +121,14 @@ def infer_pipelined(
         detect/segment stages scale with the mesh alongside predict's
         sharded tile batches."""
         with jax.default_device(devices[sample % len(devices)]):
+            # A committed array keeps running ops on ITS device regardless of
+            # jax.default_device — move the predict-stage copy to this lane's
+            # chip so device-detect round-robins too (no-op on one device;
+            # d2d rides ICI on real multi-chip hardware).
+            if embeddings_dev is not None:
+                embeddings_dev = jax.device_put(
+                    embeddings_dev, devices[sample % len(devices)]
+                )
             threshold, binary_mask, centered, detections = detect_sample(
                 embeddings, ic, D, sample_rng(ic.seed, sample),
                 embeddings_device=embeddings_dev,

@@ -263,10 +263,24 @@ def predict_sample(
             ]
         )
         if len(batch_origins) < tb:
-            # pad the final batch to keep a single compiled shape
-            reps = tb - len(batch_origins)
-            tiles = np.concatenate([tiles, np.repeat(tiles[-1:], reps, axis=0)])
-            keys = jnp.concatenate([keys, jnp.repeat(keys[-1:], reps, axis=0)])
+            # a short FINAL batch runs at its own (smaller) compiled shape
+            # instead of padding to tb — the remainder size is fixed per
+            # run, so this costs exactly one extra compile, not one per
+            # batch, and skips up to tb-1 wasted TTA forwards. With a mesh
+            # the batch axis still must divide the device count, so pad
+            # only up to the next multiple of n_shards (a 1-tile image on
+            # an 8-chip mesh pays 8 lanes; without a mesh it pays 1).
+            pad_multiple = mesh.devices.size if mesh is not None else 1
+            short = len(batch_origins)
+            target = -(-short // pad_multiple) * pad_multiple
+            if target > short:
+                reps = target - short
+                tiles = np.concatenate(
+                    [tiles, np.repeat(tiles[-1:], reps, axis=0)]
+                )
+                keys = jnp.concatenate(
+                    [keys, jnp.repeat(keys[-1:], reps, axis=0)]
+                )
         out = run_batch(jnp.asarray(tiles), keys)  # (T, *out_tile, D+1)
         if dev_buf is not None:
             for i, orig in enumerate(batch_origins):

@@ -437,6 +437,46 @@ def pack_state(
     }
 
 
+def check_3d_density_envelope(
+    num_spatial_dims: int, density: float, pair_count_mode: str = "reference"
+) -> None:
+    """Warn when a 3D run leaves the validated pair-density envelope.
+
+    2D's default ``density = 0.1`` is NOT a safe 3D default: on 3D volumes
+    the embedding collapses (every pixel maps to one cluster) for densities
+    well above the validated recipe, while ``density = 0.05`` with
+    ``pair_count_mode = "all_dims"`` trains to F1 1.0 (docs/validation.md,
+    measured on TPU; the collapse boundary table lives there too). The
+    reference's pair count uses only the first two spatial dims even in 3D
+    (reference ``datasets/zarr_dataset.py:244-248``), which makes its 3D
+    pair budget erratic — this guard is a deviation in the user's favor.
+    """
+    if num_spatial_dims < 3:
+        return
+    import warnings
+
+    if density > 0.05 + 1e-9:
+        warnings.warn(
+            f"3D training with density={density:g} is outside the validated "
+            "envelope: 3D runs collapse to a single cluster for densities "
+            "above ~0.05 (the 2D default 0.1 collapses; see "
+            "docs/validation.md). Set train_config.density = 0.05 and "
+            'pair_count_mode = "all_dims" for the validated 3D recipe.',
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    elif pair_count_mode == "reference":
+        warnings.warn(
+            '3D training with pair_count_mode="reference" counts pairs with '
+            "the reference's 2-dim formula (reference "
+            "zarr_dataset.py:244-248), giving an unintentionally small and "
+            'crop-shape-dependent pair budget in 3D; "all_dims" is the '
+            "validated 3D setting (docs/validation.md).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def unpack_opt_state(state: Dict[str, Any], template_opt_state: Any) -> Any:
     leaves = state.get("opt_leaves")
     if leaves is None:
@@ -449,12 +489,18 @@ def unpack_opt_state(state: Dict[str, Any], template_opt_state: Any) -> Any:
         # from fresh moments is the only safe option, but it must not be
         # silent — Adam moments reset AND any schedule count restarts at 0
         # (milestones then fire relative to the RESUME point)
-        print(
-            f"WARNING: checkpoint optimizer state has {len(leaves)} arrays "
+        # warnings (not print): survives log capture, dedupes across the
+        # per-process fan-out under multi-host training
+        import warnings
+
+        warnings.warn(
+            f"checkpoint optimizer state has {len(leaves)} arrays "
             f"but the configured optimizer expects {len(template_leaves)} "
             "(optimizer config changed since the checkpoint?); optimizer "
             "state reinitialized — Adam moments reset, lr_milestones count "
-            "restarts at the resume iteration"
+            "restarts at the resume iteration",
+            RuntimeWarning,
+            stacklevel=2,
         )
         return template_opt_state
     # msgpack restores dict-valued leaves lists; coerce dtypes to template
@@ -630,6 +676,10 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         in_channels=dataset.get_num_channels(),
         num_spatial_dims=dataset.get_num_spatial_dims(),
     )
+    check_3d_density_envelope(
+        dataset.get_num_spatial_dims(), train_config.density,
+        getattr(train_config, "pair_count_mode", "reference"),
+    )
     compute_dtype = (
         jnp.bfloat16 if train_config.precision == "bfloat16" else jnp.float32
     )
@@ -720,12 +770,14 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     # it (reference train.py never touches it); here a validation loss is
     # computed at the best-model cadence and logged alongside train loss
     val_batches = None
-    if train_config.validate_data_config is not None and multi_process:
-        if dist.is_primary():
-            print(
-                "validation disabled under multi-process training (the "
-                "validation forward runs on host-local arrays)"
-            )
+    if train_config.validate_data_config is not None and multi_process and (
+        not dist.is_primary()
+    ):
+        # primary-only validation: params are replicated, so process 0's
+        # local copy sees the same state; it validates on its own device
+        # and owns the val_loss column (other processes skip — the val
+        # forward must not enter the global-mesh collective path)
+        pass
     elif train_config.validate_data_config is not None:
         try:
             val_dataset = get_dataset(
@@ -852,6 +904,13 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         )[0]
 
     def validation_loss(params):
+        if multi_process:
+            # replicated global arrays -> this process's local shard (a
+            # committed single-device array, no host round-trip) so the
+            # eval jit runs device-local instead of over the global mesh
+            params = jax.tree_util.tree_map(
+                lambda x: x.addressable_shards[0].data, params
+            )
         total = 0.0
         for raw_np, anc_np, ref_np in val_batches:
             total += float(
@@ -952,9 +1011,20 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
 
         if do_snapshot and offsets is not None:
             if multi_process:
-                # the prediction is sharded across hosts; snapshots are a
-                # single-host debugging aid and are skipped here
-                return
+                if not dist.is_primary():
+                    return
+                # primary-only snapshot of ITS local rows of the global
+                # batch: assemble the addressable shards (batch-axis order)
+                # — raw_np is already this process's local batch, so the
+                # rows line up by construction (put_process_batch places
+                # the local batch contiguously on local devices)
+                shards = sorted(
+                    offsets.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0),
+                )
+                offsets = np.concatenate(
+                    [np.asarray(s.data) for s in shards], axis=0
+                )
             pred_np = np.moveaxis(np.asarray(offsets), -1, 1)
             snap_raw = raw_np
             if input_scale is not None:
@@ -1034,6 +1104,12 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                     keys = jax.vmap(
                         lambda i: jax.random.fold_in(base_key, i)
                     )(jnp.arange(it_start, it_start + k_eff))
+                    if n_dev > 1 or multi_process:
+                        # identical on every process (folded from global
+                        # iteration indices) — place explicitly replicated
+                        # over the global mesh instead of relying on
+                        # implicit resharding of a process-local array
+                        keys = jax.device_put(keys, rep_sh)
                     stacked = (raw_K, keys)
                 else:
                     stacked = (
@@ -1077,7 +1153,9 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                     # under THAT iteration so resume replays nothing
                     iteration = chunk_end - 1
                     offsets = None
-                    if do_snapshot and not multi_process:
+                    if do_snapshot:
+                        # all processes run the (collective) forward; the
+                        # primary assembles its local rows in cadence_actions
                         offsets = snapshot_forward(
                             params,
                             put_batch(

@@ -1,0 +1,99 @@
+"""On-chip benchmark: Pallas VMEM packed dw vs XLA's native filter grad.
+
+Run after scripts/diag_dw_shapes.py (which calibrates what each dot shape
+can deliver). Times the real model layer shapes; NOTES.md timing rules
+(chained fori_loop + d2h fence).
+
+Usage: python scripts/diag_dw_pallas.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import cellulus_tpu
+from cellulus_tpu.models.unet import _dimension_numbers
+from cellulus_tpu.ops.pallas_dw import conv3x3_dw
+
+cellulus_tpu.enable_compilation_cache()
+
+print("device_kind:", jax.devices()[0].device_kind, flush=True)
+ITERS = 20
+rng = np.random.default_rng(0)
+
+
+def timed(label, state0, step, fetch, flops):
+    @jax.jit
+    def loop(s):
+        return lax.fori_loop(0, ITERS, lambda i, s: step(s), s)
+
+    s = loop(state0)
+    float(fetch(s))
+    t0 = time.perf_counter()
+    s = loop(s)
+    float(fetch(s))
+    t = (time.perf_counter() - t0) / ITERS
+    tf = flops / t / 1e12
+    print(
+        f"{label:40s} {t * 1e3:8.3f} ms  {tf:7.2f} TFLOP/s "
+        f"({100 * tf / 197:.1f}% nominal)",
+        flush=True,
+    )
+    return t
+
+
+def bench_layer(B, H, Ci, Co):
+    x = jnp.asarray(rng.standard_normal((B, H, H, Ci)), jnp.bfloat16)
+    g = jnp.asarray(
+        rng.standard_normal((B, H - 2, H - 2, Co)), jnp.bfloat16
+    )
+    flops = 2 * 9 * Ci * Co * B * (H - 2) * (H - 2)
+    w0 = jnp.zeros((3, 3, Ci, Co), jnp.bfloat16)
+
+    def conv(w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "VALID", dimension_numbers=_dimension_numbers(2),
+            preferred_element_type=jnp.float32,
+        )
+
+    def native_step(w):
+        dw = jax.grad(lambda w: (conv(w) * g.astype(jnp.float32)).sum())(w)
+        return (w + dw * 1e-12).astype(jnp.bfloat16)
+
+    def pallas_step(w):
+        # perturb x through w so the dw depends on the loop state (no CSE)
+        dw = conv3x3_dw(x * (1 + w[0, 0, 0, 0].astype(jnp.bfloat16) * 0), g)
+        return (w + dw * 1e-12).astype(jnp.bfloat16)
+
+    timed(f"XLA native dw  {Ci}->{Co} B{B} {H}^2", w0, native_step,
+          lambda w: w[0, 0, 0, 0].astype(jnp.float32), flops)
+    timed(f"Pallas packed dw {Ci}->{Co} B{B} {H}^2", w0, pallas_step,
+          lambda w: w[0, 0, 0, 0].astype(jnp.float32), flops)
+
+    # numerics on-chip (compiled, not interpret)
+    dw_p = np.asarray(conv3x3_dw(x, g))
+    dw_n = np.asarray(
+        jax.grad(lambda w: (conv(w) * g.astype(jnp.float32)).sum())(
+            jnp.zeros((3, 3, Ci, Co), jnp.float32)
+        )
+    )
+    rel = np.abs(dw_p - dw_n) / (np.abs(dw_n) + 1e-3)
+    print(f"  on-chip numerics: max rel diff {rel.max():.2e}", flush=True)
+
+
+def main():
+    bench_layer(8, 248, 64, 64)    # level-1 3x3 (64 fmaps)
+    bench_layer(8, 120, 192, 192)  # level-2 3x3 (fmap_inc 3)
+
+
+if __name__ == "__main__":
+    main()

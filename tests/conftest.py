@@ -18,7 +18,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np
 import pytest
 
 from tests.synthetic import make_blob_container

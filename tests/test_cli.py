@@ -1,7 +1,5 @@
 """CLI entry point tests."""
 
-import subprocess
-import sys
 
 import numpy as np
 import pytest

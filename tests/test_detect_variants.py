@@ -71,8 +71,6 @@ def test_device_detect_matches_host_path(monkeypatch):
     """The device-resident detect path (on-device otsu/mask/grid/predict)
     equals the host-prep path bit-for-bit when the threshold is fixed
     (same RNG stream, same fit subsample, same kernels)."""
-    import os
-
     import numpy as np
 
     from cellulus_tpu.configs import InferenceConfig
@@ -99,3 +97,28 @@ def test_device_detect_matches_host_path(monkeypatch):
     np.testing.assert_array_equal(a[1], b[1])
     np.testing.assert_array_equal(a[2], b[2])
     np.testing.assert_array_equal(a[3], b[3])
+
+
+def test_smooth_peak_seeds_matches_scipy():
+    """Device seed computation (separable-shift gaussian + max-pool peak
+    mask, one dispatch) reproduces the host oracle exactly:
+    ``np.flip(peak_local_max(-gaussian_filter(x, 2)), 1)`` — same
+    coordinates, same intensity-descending order (reference
+    ``detect.py:128-132`` semantics)."""
+    import numpy as np
+    from scipy.ndimage import gaussian_filter
+
+    from cellulus_tpu.ops.peaks import peak_local_max, smooth_peak_seeds
+
+    rng = np.random.default_rng(7)
+    for ndim, shape in ((2, (61, 53)), (3, (17, 29, 23))):
+        # a realistic offset-magnitude field: smooth valleys + noise
+        x = rng.random(shape).astype(np.float32)
+        x = gaussian_filter(x, 3.0) + 0.01 * rng.random(shape).astype(np.float32)
+
+        smooth = gaussian_filter(x, sigma=2)
+        expect = np.flip(peak_local_max(-smooth), 1).astype(np.float32)
+
+        got = smooth_peak_seeds(x, sigma=2.0)
+        assert got.shape == expect.shape, (got.shape, expect.shape)
+        np.testing.assert_array_equal(got, expect)

@@ -61,11 +61,16 @@ max_iterations = 3
 elastic_deform = false
 num_workers = 0
 save_model_every = 100
-save_snapshot_every = 100
+save_snapshot_every = 2
 save_best_model_every = 2
 loss_mode = "grid"
+steps_per_dispatch = {steps_per_dispatch}
 
 [train_config.train_data_config]
+container_path = "data.zarr"
+dataset_name = "train"
+
+[train_config.validate_data_config]
 container_path = "data.zarr"
 dataset_name = "train"
 """
@@ -98,9 +103,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_cpu_training(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("steps_per_dispatch", [1, 2])
+def test_two_process_cpu_training(tmp_path, steps_per_dispatch):
+    """K=1 exercises the per-step path; K=2 the lax.scan chunk path with
+    key-driven grid sampling under multi-process (explicitly-replicated
+    per-iteration PRNG keys + a ragged final chunk at max_iterations=3)."""
     make_blob_container(tmp_path / "data.zarr", num_samples=2, size=96, ndim=2)
-    (tmp_path / "train.toml").write_text(TRAIN_TOML)
+    (tmp_path / "train.toml").write_text(
+        TRAIN_TOML.format(steps_per_dispatch=steps_per_dispatch)
+    )
     port = _free_port()
 
     env = {
@@ -143,6 +157,13 @@ def test_two_process_cpu_training(tmp_path):
     assert "===> iteration:" not in outs[1]
     ckpts = list((tmp_path / "models").glob("*.ckpt"))
     assert ckpts, "primary wrote no checkpoints"
+
+    # primary-only validation: process 0 logs a validation loss (computed
+    # on its local replica of the params), process 1 stays silent
+    assert "===> validation loss:" in outs[0], outs[0][-2000:]
+    assert "===> validation loss:" not in outs[1]
+    # primary-only snapshot of the local batch rows
+    assert (tmp_path / "snapshots.zarr").exists(), "primary wrote no snapshot"
 
     # the final numbered checkpoint loads back into a params tree
     from cellulus_tpu.utils.checkpoint import load_checkpoint

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from cellulus_tpu.configs import InferenceConfig
 from cellulus_tpu.datasets import PairSampler

@@ -1,7 +1,6 @@
 """3D pipeline test: anisotropic U-Net, tiled inference over a volume."""
 
 import numpy as np
-import pytest
 
 import cellulus_tpu
 from cellulus_tpu.configs import ExperimentConfig

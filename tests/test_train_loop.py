@@ -241,3 +241,26 @@ def test_steps_per_dispatch_checkpoint_boundary_semantics(
         jax.tree_util.tree_leaves(full["params"]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_3d_density_envelope_guard():
+    """3D runs outside the validated density envelope warn; the validated
+    recipe (density 0.05 + all_dims) and all 2D configs stay silent
+    (docs/validation.md collapse table)."""
+    import warnings
+
+    from cellulus_tpu.train import check_3d_density_envelope
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        check_3d_density_envelope(2, 0.1)
+        check_3d_density_envelope(2, 0.5, "reference")
+        assert not w
+        check_3d_density_envelope(3, 0.05, "all_dims")
+        assert not w
+        check_3d_density_envelope(3, 0.1, "all_dims")
+        assert len(w) == 1
+        assert "outside the validated" in str(w[-1].message)
+        check_3d_density_envelope(3, 0.05, "reference")
+        assert len(w) == 2
+        assert "2-dim formula" in str(w[-1].message)

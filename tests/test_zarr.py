@@ -84,8 +84,6 @@ def test_fill_value_unwritten_chunks(tmp_path):
 def test_corrupt_chunk_names_the_file(tmp_path):
     """A corrupt chunk raises an error naming the chunk path, not a bare
     zlib/msgpack internal message."""
-    import os
-
     import numpy as np
     import pytest
 
