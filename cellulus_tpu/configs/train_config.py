@@ -92,6 +92,14 @@ class TrainConfig:
             Effective on the TPU backend (recompute verified present in
             the compiled HLO); XLA's CPU pipeline CSEs the recompute away,
             so it is a no-op on CPU.
+        pallas_dw: [tpu extension, EXPERIMENTAL — measured at-par/slower on
+            the tunneled v5e] Compute 2D 3x3 conv filter gradients in a
+            Pallas kernel that packs all 9 taps into one (3Ci x 3Co) VMEM
+            dot (ops/pallas_dw.py). Measured: 64ch LOSES to XLA (3.9 vs
+            2.2 ms — VPU relayout cost), 192ch ties; see the NOTES.md
+            round-3 roofline post-mortem. Kept for wider-channel models
+            and non-tunneled parts. Numerics: bf16 operands, f32
+            accumulation, parity-tested (tests/test_pallas_dw.py).
         packed_dw: [tpu extension, EXPERIMENTAL — measured slower on v5e]
             Compute conv filter gradients as packed matmuls
             (ops/conv_vjp.py) instead of XLA's conv-backprop-filter.
@@ -139,6 +147,7 @@ class TrainConfig:
     pair_count_mode: str = "reference"
     elastic_on_device: bool = False
     packed_dw: bool = False
+    pallas_dw: bool = False
     remat: bool = False
 
     def __post_init__(self) -> None:

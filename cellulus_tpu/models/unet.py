@@ -188,7 +188,13 @@ def _conv(
     # an explicit preferred_element_type=f32 would break the transpose rule
     # under jax.grad (cotangent/weight dtype mismatch)
     w = p["w"].astype(compute_dtype)
-    if packed_dw:
+    if packed_dw == "pallas":
+        # custom VJP whose 3x3 filter gradient runs the Pallas VMEM-packed
+        # kernel (ops/pallas_dw.py) — forward math is identical
+        from ..ops.conv_vjp import conv_valid_pallas
+
+        out = conv_valid_pallas(x.astype(compute_dtype), w, ndim)
+    elif packed_dw:
         # training fast path: custom VJP whose filter gradient is a packed
         # matmul (see ops/conv_vjp.py) — forward math is identical
         from ..ops.conv_vjp import conv_valid_packed

@@ -153,3 +153,53 @@ def _bwd(ndim, res, dy):
 
 
 conv_valid_packed.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas VMEM-packed filter gradient (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _default_interpret() -> bool:
+    import jax as _jax
+
+    return _jax.devices()[0].platform != "tpu"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv_valid_pallas(x: jnp.ndarray, w: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """VALID stride-1 conv whose 3x3-2D weight gradient runs in the Pallas
+    VMEM-packed kernel (:mod:`.pallas_dw`); all other shapes fall back to
+    XLA's native filter gradient.
+
+    MEASURED (v5e via tunnel, scripts/diag_dw_pallas.py): at Ci=Co=64 the
+    kernel LOSES to XLA (3.94 vs 2.18 ms — the VPU relayout stores that
+    pack the taps cost more than the MXU-shape win); at Ci=Co=192 it ties
+    (2.36 vs 2.24 ms). Opt-in via ``train_config.pallas_dw``; see the
+    NOTES.md round-3 roofline post-mortem for why ~2 ms/conv is this
+    chip's floor (narrow-lane HBM layout, not MXU shape).
+    """
+    return _plain_conv(x, w, ndim)
+
+
+def _pallas_fwd(x, w, ndim):
+    return _plain_conv(x, w, ndim), (x, w)
+
+
+def _pallas_bwd(ndim, res, dy):
+    x, w = res
+    k_sizes = tuple(int(k) for k in w.shape[:ndim])
+    # dx: XLA's native input-grad path (at/near the measured ceiling)
+    _, vjp_x = jax.vjp(lambda x_: _plain_conv(x_, w, ndim), x)
+    (dx,) = vjp_x(dy)
+    if ndim == 2 and k_sizes == (3, 3):
+        from .pallas_dw import conv3x3_dw
+
+        dw = conv3x3_dw(x, dy, interpret=_default_interpret()).astype(w.dtype)
+    else:
+        _, vjp_w = jax.vjp(lambda w_: _plain_conv(x, w_, ndim), w)
+        (dw,) = vjp_w(dy)
+    return dx.astype(x.dtype), dw
+
+
+conv_valid_pallas.defvjp(_pallas_fwd, _pallas_bwd)

@@ -40,11 +40,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tr(H: int, W: int, Ci: int, Co: int, budget_bytes: int = 9 << 20):
+def _pick_tr(H: int, W: int, Ci: int, Co: int, budget_bytes: int = 5 << 20):
+    # budget leaves room for Mosaic's stack copies of the packed operands
+    # (the dot loads xp/gp as vectors on top of the scratch buffers) within
+    # the 16 MB scoped-vmem limit
     """Rows of x per grid step: fit x block + g slab + packed operands in
     VMEM within ``budget_bytes``."""
     Wo = W - 2
-    for tr in (64, 48, 32, 24, 16, 8, 4, 2, 1):
+    # TR must be a multiple of 8 (sublane tiling + the 8-row halo input)
+    for tr in (64, 48, 32, 24, 16, 8):
         per_row = (
             W * Ci * 2          # x block row
             + Wo * Co * 2       # g slab row
@@ -53,37 +57,45 @@ def _pick_tr(H: int, W: int, Ci: int, Co: int, budget_bytes: int = 9 << 20):
         )
         if tr * per_row + 2 * Wo * Co * 2 <= budget_bytes:
             return tr
-    return 1
+    return 8
 
 
 @lru_cache(maxsize=64)
 def _dw_kernel(B: int, H: int, W: int, Ci: int, Co: int, interpret: bool):
-    Wo = W - 2
+    # pixel-domain width padded to the sublane tile (8): the halo DMA
+    # slices the HBM memref, and Mosaic requires slice extents on the
+    # second-minor dim to be 8-aligned; the zero-padded g columns multiply
+    # real x values by zero, so the dot is unchanged
+    Wo = -(-(W - 2) // 8) * 8
+    W = Wo + 2  # callers pad x to this width
     TR = _pick_tr(H, W, Ci, Co)
     Hp = -(-H // TR) * TR  # x rows padded to a multiple of TR
     n_r = Hp // TR
 
-    def kernel(x_ref, gpad_ref, out_ref, gbuf, sem):
-        b = pl.program_id(0)
-        r = pl.program_id(1)
-
-        dma = pltpu.make_async_copy(
-            gpad_ref.at[b, pl.ds(r * TR, TR + 2)], gbuf, sem
-        )
-        dma.start()
-
+    def kernel(x_ref, gm_ref, gh_ref, out_ref, xp_buf, gp_buf):
+        # pack the kx shifts of x via VMEM scratch STORES (a lane-dim
+        # jnp.concatenate of shifted slices trips Mosaic's "offset mismatch
+        # on non-concat dimension" — stores relayout instead)
         xblk = x_ref[0]  # (TR, W, Ci)
-        xp = jnp.concatenate(
-            [xblk[:, 0:Wo], xblk[:, 1 : Wo + 1], xblk[:, 2 : Wo + 2]],
-            axis=-1,
-        ).reshape(TR * Wo, 3 * Ci)
+        for kx in range(3):
+            xp_buf[:, :, kx * Ci : (kx + 1) * Ci] = xblk[:, kx : Wo + kx, :]
+        xp = xp_buf[:].reshape(TR * Wo, 3 * Ci)
 
-        dma.wait()
-        g = gbuf[:]  # (TR+2, Wo, Co)
-        # Gp[y, ky*Co+co] = gpad[r0 + y + (2 - ky)] i.e. g[r0 + y - ky]
-        gp = jnp.concatenate(
-            [g[2 : 2 + TR], g[1 : 1 + TR], g[0:TR]], axis=-1
-        ).reshape(TR * Wo, 3 * Co)
+        # Gp[y, ky*Co+co] = gpad[r0 + y + (2 - ky)] — rows [r0, r0+TR) come
+        # from the main block, the 2 rows past the block edge from the
+        # pre-gathered halo input (a manual HBM DMA of the slab is not
+        # lowerable here: Mosaic requires 8/128-aligned slice extents and
+        # Co=64 < 128)
+        gm = gm_ref[0]  # (TR, Wp, Co)
+        gh = gh_ref[0]  # (8, Wp, Co): gpad rows [r0+TR, r0+TR+8)
+        for ky in range(3):
+            s = 2 - ky
+            if s == 0:
+                gp_buf[:, :, ky * Co : (ky + 1) * Co] = gm
+            else:
+                gp_buf[0 : TR - s, :, ky * Co : (ky + 1) * Co] = gm[s:TR]
+                gp_buf[TR - s : TR, :, ky * Co : (ky + 1) * Co] = gh[0:s]
+        gp = gp_buf[:].reshape(TR * Wo, 3 * Co)
 
         prod = jax.lax.dot_general(
             xp,
@@ -92,7 +104,9 @@ def _dw_kernel(B: int, H: int, W: int, Ci: int, Co: int, interpret: bool):
             preferred_element_type=jnp.float32,
         )  # (3Ci, 3Co)
 
-        @pl.when(jnp.logical_and(b == 0, r == 0))
+        @pl.when(
+            jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+        )
         def _init():
             out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -108,18 +122,27 @@ def _dw_kernel(B: int, H: int, W: int, Ci: int, Co: int, interpret: bool):
                 lambda b, r: (b, r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, TR, Wo, Co),
+                lambda b, r: (b, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, Wo, Co),
+                lambda b, r: (b, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (3 * Ci, 3 * Co), lambda b, r: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((3 * Ci, 3 * Co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TR + 2, Wo, Co), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((TR, Wo, 3 * Ci), jnp.bfloat16),
+            pltpu.VMEM((TR, Wo, 3 * Co), jnp.bfloat16),
         ],
         interpret=interpret,
-    ), Hp
+    ), (Hp, TR)
 
 
 def conv3x3_dw(
@@ -141,16 +164,28 @@ def conv3x3_dw(
     Co = g.shape[-1]
     assert g.shape == (B, Ho, Wo, Co), (x.shape, g.shape)
 
-    call, Hp = _dw_kernel(B, H, W, Ci, Co, interpret)
+    call, (Hp, TR) = _dw_kernel(B, H, W, Ci, Co, interpret)
+    Wp = -(-Wo // 8) * 8  # kernel's padded pixel-domain width
+    n_r = Hp // TR
     xb = x.astype(jnp.bfloat16)
-    if Hp != H:
-        xb = jnp.pad(xb, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
-    # gpad[b, i] = g[b, i-2], zero elsewhere; height Hp+2 covers every slab
+    if Hp != H or Wp + 2 != W:
+        xb = jnp.pad(xb, ((0, 0), (0, Hp - H), (0, Wp + 2 - W), (0, 0)))
+    # gpad[b, i] = g[b, i-2], zero elsewhere; Hp+TR rows so the per-block
+    # 8-row halo gather below never reads out of range
     gpad = jnp.pad(
         g.astype(jnp.bfloat16),
-        ((0, 0), (2, Hp - Ho), (0, 0), (0, 0)),
+        ((0, 0), (2, Hp + TR - 2 - Ho), (0, Wp - Wo), (0, 0)),
+    )  # (B, Hp + TR, Wp, Co)
+    g_main = gpad[:, :Hp]
+    # halo[b, r*8 + j] = gpad[b, (r+1)*TR + j]: the 8 rows past each
+    # block's edge, laid out so a plain (8, Wp, Co) BlockSpec at index r
+    # fetches block r's halo (no overlapping blocks, no manual DMA)
+    halo = (
+        gpad[:, TR : TR + n_r * TR]
+        .reshape(B, n_r, TR, Wp, Co)[:, :, :8]
+        .reshape(B, n_r * 8, Wp, Co)
     )
-    out = call(xb, gpad)  # (3Ci, 3Co): [kx*Ci+ci, ky*Co+co]
+    out = call(xb, g_main, halo)  # (3Ci, 3Co): [kx*Ci+ci, ky*Co+co]
     dw = out.reshape(3, Ci, 3, Co).transpose(2, 0, 1, 3)  # (ky, kx, Ci, Co)
     return dw
 

@@ -824,7 +824,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.batch_size,
             compute_dtype,
             input_scale=input_scale,
-            packed_dw=train_config.packed_dw,
+            packed_dw="pallas" if train_config.pallas_dw else train_config.packed_dw,
             remat=train_config.remat,
         )
     elif getattr(train_config, "loss_mode", "pairs") == "dense":
@@ -837,7 +837,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.batch_size,
             compute_dtype,
             input_scale=input_scale,
-            packed_dw=train_config.packed_dw,
+            packed_dw="pallas" if train_config.pallas_dw else train_config.packed_dw,
             remat=train_config.remat,
         )
     elif train_config.device_pair_sampling:
@@ -850,7 +850,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.batch_size,
             compute_dtype,
             input_scale=input_scale,
-            packed_dw=train_config.packed_dw,
+            packed_dw="pallas" if train_config.pallas_dw else train_config.packed_dw,
             remat=train_config.remat,
         )
     else:
@@ -861,7 +861,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.regularizer_weight,
             compute_dtype,
             input_scale=input_scale,
-            packed_dw=train_config.packed_dw,
+            packed_dw="pallas" if train_config.pallas_dw else train_config.packed_dw,
             remat=train_config.remat,
         )
     if train_config.elastic_on_device and train_config.elastic_deform:

@@ -52,6 +52,8 @@ def timed(label, state0, step, fetch, flops):
 
 
 def bench_layer(B, H, Ci, Co):
+    # operands thread through the loop state (no embedded constants — the
+    # remote-compile request has a size limit) and all operands stay bf16
     x = jnp.asarray(rng.standard_normal((B, H, H, Ci)), jnp.bfloat16)
     g = jnp.asarray(
         rng.standard_normal((B, H - 2, H - 2, Co)), jnp.bfloat16
@@ -59,32 +61,40 @@ def bench_layer(B, H, Ci, Co):
     flops = 2 * 9 * Ci * Co * B * (H - 2) * (H - 2)
     w0 = jnp.zeros((3, 3, Ci, Co), jnp.bfloat16)
 
-    def conv(w):
+    def conv(x_, w):
         return lax.conv_general_dilated(
-            x, w, (1, 1), "VALID", dimension_numbers=_dimension_numbers(2),
-            preferred_element_type=jnp.float32,
+            x_, w, (1, 1), "VALID", dimension_numbers=_dimension_numbers(2),
         )
 
-    def native_step(w):
-        dw = jax.grad(lambda w: (conv(w) * g.astype(jnp.float32)).sum())(w)
-        return (w + dw * 1e-12).astype(jnp.bfloat16)
+    def native_step(s):
+        x_, g_, w = s
+        dw = jax.grad(
+            lambda w: (conv(x_, w).astype(jnp.float32)
+                       * g_.astype(jnp.float32)).sum()
+        )(w)
+        return (x_, g_, (w + dw * 1e-12).astype(jnp.bfloat16))
 
-    def pallas_step(w):
-        # perturb x through w so the dw depends on the loop state (no CSE)
-        dw = conv3x3_dw(x * (1 + w[0, 0, 0, 0].astype(jnp.bfloat16) * 0), g)
-        return (w + dw * 1e-12).astype(jnp.bfloat16)
+    def pallas_step(s):
+        x_, g_, w = s
+        pert = (w[0, 0, 0, 0] * 0).astype(jnp.bfloat16)
+        dw = conv3x3_dw(x_ + pert, g_)
+        return (x_, g_, (w + dw * 1e-12).astype(jnp.bfloat16))
 
-    timed(f"XLA native dw  {Ci}->{Co} B{B} {H}^2", w0, native_step,
-          lambda w: w[0, 0, 0, 0].astype(jnp.float32), flops)
-    timed(f"Pallas packed dw {Ci}->{Co} B{B} {H}^2", w0, pallas_step,
-          lambda w: w[0, 0, 0, 0].astype(jnp.float32), flops)
+    fetch = lambda s: s[2][0, 0, 0, 0].astype(jnp.float32)
+    timed(f"XLA native dw  {Ci}->{Co} B{B} {H}^2", (x, g, w0), native_step,
+          fetch, flops)
+    timed(f"Pallas packed dw {Ci}->{Co} B{B} {H}^2", (x, g, w0), pallas_step,
+          fetch, flops)
 
     # numerics on-chip (compiled, not interpret)
-    dw_p = np.asarray(conv3x3_dw(x, g))
+    dw_p = np.asarray(jax.jit(conv3x3_dw)(x, g))
     dw_n = np.asarray(
-        jax.grad(lambda w: (conv(w) * g.astype(jnp.float32)).sum())(
-            jnp.zeros((3, 3, Ci, Co), jnp.float32)
-        )
+        jax.jit(
+            lambda x_, g_: jax.grad(
+                lambda w: (conv(x_, w).astype(jnp.float32)
+                           * g_.astype(jnp.float32)).sum()
+            )(jnp.zeros((3, 3, Ci, Co), jnp.bfloat16))
+        )(x, g)
     )
     rel = np.abs(dw_p - dw_n) / (np.abs(dw_n) + 1e-3)
     print(f"  on-chip numerics: max rel diff {rel.max():.2e}", flush=True)

@@ -69,19 +69,26 @@ def timed(label, make_fn, flops):
 
 
 def dot_case(M, N, K):
+    # operands thread through the loop STATE (jit arguments, not embedded
+    # constants — constants blow the remote-compile request size limit),
+    # and the chaining perturbation stays bf16 (an f32 scalar would promote
+    # the whole dot off the bf16 MXU path)
     a = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((K, N)), jnp.bfloat16)
 
     def make():
         def step(s):
-            out = jax.lax.dot_general(
-                a * (1 + s[0, 0] * 1e-12), b,
+            a_, b_, out = s
+            pert = (out[0, 0] * 1e-24).astype(jnp.bfloat16)
+            new = jax.lax.dot_general(
+                a_ + pert, b_,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return out[:M, :N]
+            return (a_, b_, new)
 
-        return jnp.zeros((M, N), jnp.float32), step, lambda s: s[0, 0]
+        s0 = (a, b, jnp.zeros((M, N), jnp.float32))
+        return s0, step, lambda s: s[2][0, 0]
 
     return make
 
@@ -95,22 +102,23 @@ def conv_dw_case(B, H, Ci, Co, k=3):
         (B, H, H, Ci), (k, k, Ci, Co), ("NHWC", "HWIO", "NHWC")
     )
 
-    def conv(w):
+    def conv(x_, w):
         return lax.conv_general_dilated(
-            x, w, (1, 1), "VALID", dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
+            x_, w, (1, 1), "VALID", dimension_numbers=dn,
         )
 
     def make():
         w0 = jnp.asarray(rng.standard_normal((k, k, Ci, Co)), jnp.bfloat16)
 
-        def step(w):
+        def step(s):
+            x_, g_, w = s
             dw = jax.grad(
-                lambda w: (conv(w) * g.astype(jnp.float32)).sum()
+                lambda w: (conv(x_, w).astype(jnp.float32)
+                           * g_.astype(jnp.float32)).sum()
             )(w)
-            return (w + dw.astype(jnp.bfloat16) * 1e-12).astype(jnp.bfloat16)
+            return (x_, g_, (w + dw * 1e-12).astype(jnp.bfloat16))
 
-        return w0, step, lambda w: w[0, 0, 0, 0].astype(jnp.float32)
+        return (x, g, w0), step, lambda s: s[2][0, 0, 0, 0].astype(jnp.float32)
 
     return make
 

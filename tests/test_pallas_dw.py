@@ -59,3 +59,48 @@ def test_pallas_dw_matches_jax_grad():
     want = np.asarray(jax.grad(loss)(w0), np.float32)
     got = np.asarray(conv3x3_dw(x, g, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-1)
+
+
+def test_conv_valid_pallas_grads_match_plain():
+    """conv_valid_pallas (train_config.pallas_dw): identical forward and
+    matching gradients vs the plain conv on both the 3x3 Pallas path and
+    the 1x1 native-fallback path."""
+    import jax.numpy as jnp
+
+    from cellulus_tpu.ops.conv_vjp import conv_valid_pallas
+
+    rng = np.random.default_rng(9)
+    for k, Ci, Co in ((3, 8, 16), (1, 8, 16)):
+        x = jnp.asarray(rng.standard_normal((2, 20, 22, Ci)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((k, k, Ci, Co)) * 0.1, jnp.float32
+        )
+        g_shape = (2, 20 - k + 1, 22 - k + 1, Co)
+        ct = jnp.asarray(rng.standard_normal(g_shape), jnp.float32)
+
+        def plain_loss(x, w):
+            out = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "VALID",
+                dimension_numbers=_dimension_numbers(2),
+            )
+            return (out * ct).sum()
+
+        def pallas_loss(x, w):
+            return (conv_valid_pallas(x, w, 2) * ct).sum()
+
+        fwd_p = conv_valid_pallas(x, w, 2)
+        fwd_n = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID", dimension_numbers=_dimension_numbers(2)
+        )
+        np.testing.assert_array_equal(np.asarray(fwd_p), np.asarray(fwd_n))
+
+        dx_n, dw_n = jax.grad(plain_loss, argnums=(0, 1))(x, w)
+        dx_p, dw_p = jax.grad(pallas_loss, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(
+            np.asarray(dx_p), np.asarray(dx_n), rtol=1e-5, atol=1e-5
+        )
+        # 3x3 path quantizes operands to bf16 inside the kernel
+        tol = 2e-2 if k == 3 else 1e-5
+        np.testing.assert_allclose(
+            np.asarray(dw_p), np.asarray(dw_n), rtol=tol, atol=tol * 10
+        )
