@@ -205,7 +205,14 @@ def segment(inference_config: InferenceConfig) -> None:
     else:  # nucleus
         from .utils.progress import progress as _progress
 
-        ds_raw = f[inference_config.dataset_config.dataset_name]
+        # the raw image lives in ITS OWN container: the reference reads it
+        # from the segmentation container (reference segment.py:53), which
+        # only works in its single-container layout — deviation in the
+        # user's favor for split-container setups (same-container layouts
+        # resolve identically)
+        ds_raw = zarr.open(inference_config.dataset_config.container_path, "r")[
+            inference_config.dataset_config.dataset_name
+        ]
         for sample in _progress(
             range(meta.num_samples), "segment (nucleus)", total=meta.num_samples
         ):

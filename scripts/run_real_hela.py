@@ -95,6 +95,11 @@ def main():
                 "crop_size": [args.crop, args.crop],
                 "tile_batch_size": 4,
                 "num_bandwidths": args.num_bandwidths,
+                # the reference's HeLa demo setting (reference
+                # docs/examples/2d/03-infer.py:93): nuclei data — partition
+                # by raw intensity inside each detection, which trims the
+                # foreground spill of the uncertainty-channel Otsu
+                "post_processing": "nucleus",
                 "dataset_config": {
                     "container_path": str(work / "panel.zarr"),
                     "dataset_name": "train",

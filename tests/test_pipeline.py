@@ -226,3 +226,42 @@ def test_nucleus_partition_bbox_equals_reference_loop():
         np.testing.assert_array_equal(
             nucleus_partition(seg, raw), reference_loop(seg, raw)
         )
+
+
+def test_segment_nucleus_split_containers(blob_container_2d, tmp_path):
+    """Nucleus-mode segment reads the raw image from the RAW container, not
+    the output container (the reference assumes its single-container layout,
+    reference segment.py:53 — regression test for the split-container fix)."""
+    import numpy as np
+
+    from cellulus_tpu.configs import InferenceConfig
+    from cellulus_tpu.segment import segment
+
+    out = tmp_path / "out_only.zarr"  # raw lives elsewhere
+    f = zarr.open(out, "a")
+    det = np.zeros((2, 1, 128, 128), np.uint16)
+    det[:, 0, 30:60, 30:60] = 1
+    f["detection"] = det
+    f["detection"].attrs.update(
+        {"axis_names": ["s", "c", "y", "x"], "resolution": [1, 1]}
+    )
+
+    ic = InferenceConfig(
+        **{
+            "crop_size": [100, 100],
+            "post_processing": "nucleus",
+            "min_size": 10,
+            "dataset_config": {
+                "container_path": str(blob_container_2d),
+                "dataset_name": "train",
+            },
+            "segmentation_dataset_config": {
+                "container_path": str(out),
+                "dataset_name": "segmentation",
+                "secondary_dataset_name": "detection",
+            },
+        }
+    )
+    segment(ic)
+    seg = np.asarray(zarr.open(out, "r")["segmentation"][...])
+    assert seg.shape == (2, 1, 128, 128)
