@@ -49,6 +49,38 @@ def infer_pipelined(
     meta = DatasetMetaData.from_dataset_config(ic.dataset_config)
     D = meta.num_spatial_dims
 
+    # RAM gate: every in-flight sample holds its assembled (D+1, *spatial)
+    # float32 embeddings on the host (plus ~2 samples in the predict/write
+    # stages). Cap the stage workers so the worst case fits the budget
+    # (default: a quarter of system RAM; override via
+    # CELLULUS_TPU_PIPELINE_RAM_GB) instead of OOMing on large 3D volumes.
+    import os as _os
+
+    sample_bytes = (D + 1) * int(np.prod(meta.spatial_array)) * 4
+    budget_gb = _os.environ.get("CELLULUS_TPU_PIPELINE_RAM_GB")
+    if budget_gb is not None:
+        budget = float(budget_gb) * (1 << 30)
+    else:
+        try:
+            budget = (
+                _os.sysconf("SC_PHYS_PAGES") * _os.sysconf("SC_PAGE_SIZE") / 4
+            )
+        except (ValueError, OSError):
+            budget = 16 * (1 << 30)
+    max_workers = max(1, int(budget // sample_bytes) - 2)
+    if max_workers < num_stage_workers:
+        import warnings
+
+        warnings.warn(
+            f"pipelined inference holds ~{sample_bytes / 1e9:.1f} GB of "
+            f"embeddings per in-flight sample; capping stage workers "
+            f"{num_stage_workers} -> {max_workers} to fit the host RAM "
+            "budget (override with CELLULUS_TPU_PIPELINE_RAM_GB)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        num_stage_workers = max_workers
+
     mesh = None
     if len(jax.devices()) > 1:
         from .parallel import make_mesh

@@ -458,10 +458,21 @@ def check_3d_density_envelope(
     if density > 0.05 + 1e-9:
         warnings.warn(
             f"3D training with density={density:g} is outside the validated "
-            "envelope: 3D runs collapse to a single cluster for densities "
-            "above ~0.05 (the 2D default 0.1 collapses; see "
-            "docs/validation.md). Set train_config.density = 0.05 and "
-            'pair_count_mode = "all_dims" for the validated 3D recipe.',
+            "envelope: 3D quality degrades monotonically above ~0.05 (the "
+            "2D default 0.1 scores F1 0.48 vs 0.96 at 0.025 in the "
+            "docs/validation.md sweep, and collapsed outright in the "
+            "round-2 recipe). Set train_config.density in [0.025, 0.05] "
+            'with pair_count_mode = "all_dims" for the validated 3D band.',
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    elif density < 0.02 - 1e-9:
+        warnings.warn(
+            f"3D training with density={density:g} is below the validated "
+            "envelope: pair starvation collapses training (density 0.0125 "
+            "scored F1 0.085 in the docs/validation.md sweep). Set "
+            "train_config.density in [0.025, 0.05] with "
+            'pair_count_mode = "all_dims".',
             RuntimeWarning,
             stacklevel=3,
         )

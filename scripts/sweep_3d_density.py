@@ -64,7 +64,13 @@ def run_cell(density, lr, iters, size, workdir):
                 "max_iterations": iters,
                 "initial_learning_rate": lr,
                 "num_workers": 4,
+                # host elastic serializes on the 1-core build host — the
+                # sweep uses the on-device warp (+ device pair sampling,
+                # the key-driven step it requires); distributions match the
+                # host path (tests/test_elastic_jax.py, sampler parity)
                 "elastic_deform": True,
+                "elastic_on_device": True,
+                "device_pair_sampling": True,
                 "precision": "bfloat16",
                 "save_model_every": max(500, iters // 2),
                 "save_snapshot_every": 10**9,

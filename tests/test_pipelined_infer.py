@@ -70,3 +70,33 @@ def test_pipelined_matches_staged(blob_container_2d, tmp_path, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(a[name][...]), np.asarray(b[name][...]), err_msg=name
         )
+
+
+def test_pipelined_ram_gate(blob_container_2d, tmp_path, monkeypatch):
+    """A tiny RAM budget caps the stage workers (with a warning) instead of
+    holding every in-flight sample's embeddings unbounded — and the output
+    still matches the staged path bit-for-bit (per-sample RNG streams)."""
+    import warnings
+
+    monkeypatch.chdir(tmp_path)
+    config = _config(blob_container_2d, tmp_path / "a.zarr", False)
+    cellulus_tpu.train(config)
+    config.model_config.checkpoint = tmp_path / "models" / "best_loss.ckpt"
+    cellulus_tpu.infer(config)
+
+    # 128x128 2D sample: ~0.2 MB of embeddings; 0.0005 GB forces workers=1
+    monkeypatch.setenv("CELLULUS_TPU_PIPELINE_RAM_GB", "0.0005")
+    config2 = _config(blob_container_2d, tmp_path / "b.zarr", True)
+    config2.model_config.checkpoint = tmp_path / "models" / "best_loss.ckpt"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cellulus_tpu.infer(config2)
+    assert any("capping stage workers" in str(x.message) for x in w), [
+        str(x.message) for x in w
+    ]
+
+    a = zarr.open(tmp_path / "a.zarr", "r")
+    b = zarr.open(tmp_path / "b.zarr", "r")
+    np.testing.assert_array_equal(
+        np.asarray(a["segmentation"][...]), np.asarray(b["segmentation"][...])
+    )

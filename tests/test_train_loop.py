@@ -264,3 +264,6 @@ def test_3d_density_envelope_guard():
         check_3d_density_envelope(3, 0.05, "reference")
         assert len(w) == 2
         assert "2-dim formula" in str(w[-1].message)
+        check_3d_density_envelope(3, 0.0125, "all_dims")
+        assert len(w) == 3
+        assert "below the validated envelope" in str(w[-1].message)
