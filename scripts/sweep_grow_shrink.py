@@ -39,6 +39,7 @@ def main() -> None:
                     help="a completed validate_quality workdir")
     ap.add_argument("--size", type=int, default=512,
                     help="sample extent (for the min_size derivation)")
+    ap.add_argument("--ndim", type=int, default=2, choices=(2, 3))
     ap.add_argument(
         "--combos",
         default="3:6,2:4,3:4,3:3,4:4,4:5,5:5,4:6,5:6,6:6",
@@ -57,11 +58,15 @@ def main() -> None:
     combos = [
         tuple(int(v) for v in c.split(":")) for c in args.combos.split(",")
     ]
+    if args.ndim == 2:
+        min_size = int(0.1 * np.pi * object_size**2 / 4)
+    else:
+        min_size = int(0.1 * 4.0 / 3.0 * np.pi * object_size**3 / 8)
     new_file = not OUT_CSV.exists()
     with open(OUT_CSV, "a", newline="") as fh:
         w = csv.writer(fh)
         if new_file:
-            w.writerow(["grow", "shrink", "F1", "SEG", "seconds"])
+            w.writerow(["ndim", "grow", "shrink", "F1", "SEG", "seconds"])
         for grow, shrink in combos:
             ic = InferenceConfig(
                 **{
@@ -69,7 +74,7 @@ def main() -> None:
                     "post_processing": "cell",
                     "grow_distance": grow,
                     "shrink_distance": shrink,
-                    "min_size": int(0.1 * np.pi * object_size**2 / 4),
+                    "min_size": min_size,
                     "dataset_config": {
                         "container_path": str(work / "data.zarr"),
                         "dataset_name": "train",
@@ -99,8 +104,8 @@ def main() -> None:
                 f"SEG={seg_score:.3f} ({dt:.1f}s)",
                 flush=True,
             )
-            w.writerow([grow, shrink, round(f1, 4), round(seg_score, 4),
-                        round(dt, 1)])
+            w.writerow([args.ndim, grow, shrink, round(f1, 4),
+                        round(seg_score, 4), round(dt, 1)])
             fh.flush()
 
 
