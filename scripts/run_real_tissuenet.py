@@ -1,0 +1,240 @@
+"""Train + infer + score on REAL TissueNet tissue panels (vendored).
+
+Second real-microscopy quality run, this one against REAL ground truth:
+the raw panels and GT instance labels recovered from the paper's own
+appendix figure by scripts/extract_real_tissuenet.py, with the paper's
+printed per-panel F1 values as the yardstick (PAPER_F1 there).
+
+Per tissue: unsupervised training on the five recovered 2-channel
+panels, full inference (predict/detect/segment) with a bandwidth sweep,
+and per-panel F1/SEG against the recovered real GT. Panels are upsampled
+2x (bilinear raw / nearest GT) so cell diameters (~20 px) sit in the
+regime the reference's demos use (object_size ~23-30); IoU-based metrics
+are resolution-invariant up to boundary rounding.
+
+Model/recipe mirrors the reference's 2D demo (reference
+``docs/examples/2d/02-train.py``: num_fmaps=24, fmap_inc_factor=3, 5000
+iterations) with "cell" post-processing (whole-cell GT) and object_size
+derived from the recovered GT's median instance area.
+
+Usage:
+  python scripts/run_real_tissuenet.py --tissue immune [--iters N]
+      [--skip-train] [--scale 2]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+VENDORED = REPO / "examples" / "real-data" / "vendored" / "tissuenet"
+
+from extract_real_tissuenet import PAPER_F1  # noqa: E402
+
+
+def upsample_bilinear(x: np.ndarray, k: int) -> np.ndarray:
+    """(... , y, x) float -> bilinear k-x upsample of the trailing 2 dims."""
+    from scipy import ndimage
+
+    zoom = [1] * (x.ndim - 2) + [k, k]
+    return ndimage.zoom(x, zoom, order=1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tissue", default="immune",
+                    choices=("immune", "skin", "lung", "pancreas", "all"))
+    ap.add_argument("--iters", type=int, default=5000)
+    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--scale", type=int, default=2)
+    ap.add_argument("--crop", type=int, default=140)
+    ap.add_argument("--num-bandwidths", type=int, default=5)
+    ap.add_argument("--bandwidth", type=float, default=None,
+                    help="override the sweep's base bandwidth "
+                         "(default: 0.5 * object_size)")
+    ap.add_argument("--lr-milestones", type=int, nargs="*", default=None,
+                    help="iterations at which lr is divided by 10 "
+                         "(paper recipe style)")
+    args = ap.parse_args()
+
+    import cellulus_tpu
+    from cellulus_tpu.configs import ExperimentConfig
+    from cellulus_tpu.evaluate import compute_F1, compute_pairwise_IoU
+    from cellulus_tpu.io import zarr
+
+    work = Path(
+        args.workdir or (REPO / "examples" / "real-data" / f"tissuenet_{args.tissue}")
+    )
+    work.mkdir(parents=True, exist_ok=True)
+    os.chdir(work)
+
+    tissues = (
+        ("immune", "skin", "lung", "pancreas")
+        if args.tissue == "all"
+        else (args.tissue,)
+    )
+    raw = np.concatenate(
+        [np.load(VENDORED / f"{t}_raw.npy") for t in tissues]
+    )  # (5T, 2, 126, 126)
+    gt = np.concatenate(
+        [np.load(VENDORED / f"{t}_gt.npy") for t in tissues]
+    )  # (5T, 126, 126)
+    paper_f1 = [f for t in tissues for f in PAPER_F1[t]]
+    panel_names = [f"{t}/{i}" for t in tissues for i in range(5)]
+    k = args.scale
+    raw_up = upsample_bilinear(raw.astype(np.float32), k)
+    gt_up = np.repeat(np.repeat(gt, k, axis=-2), k, axis=-1)
+
+    # object size from the recovered GT's median instance area (upsampled)
+    areas = np.concatenate(
+        [np.bincount(g.ravel().astype(np.int64))[1:] for g in gt]
+    )
+    areas = areas[areas > 0] * k * k
+    object_size = int(round(2.0 * np.sqrt(np.median(areas) / np.pi)))
+    print(f"{args.tissue}: median instance area {np.median(areas):.0f} px^2 "
+          f"(at {k}x) -> object_size {object_size}")
+
+    if not (work / "data.zarr" / "train").exists():
+        f = zarr.open(work / "data.zarr", "a")
+        f["train"] = raw_up
+        f["train"].attrs.update(
+            {"axis_names": ["s", "c", "y", "x"], "resolution": [1, 1]}
+        )
+
+    config = ExperimentConfig(
+        **{
+            "experiment_name": f"real-tissuenet-{args.tissue}",
+            "object_size": object_size,
+            "normalization_factor": 1.0,  # pixels already in [0, 1]
+            "model_config": {"num_fmaps": 24, "fmap_inc_factor": 3},
+            "train_config": {
+                "crop_size": [args.crop, args.crop],
+                "batch_size": 8,
+                "max_iterations": args.iters,
+                "initial_learning_rate": 4e-4,
+                "density": 0.1,
+                "kappa": 10.0,
+                "num_workers": 4,
+                "elastic_deform": True,
+                "precision": "bfloat16",
+                "save_model_every": max(1000, args.iters // 2),
+                "save_snapshot_every": 10**9,
+                "save_best_model_every": 100,
+                **({"lr_milestones": args.lr_milestones}
+                   if args.lr_milestones else {}),
+                "train_data_configs": [
+                    {"container_path": str(work / "data.zarr"),
+                     "dataset_name": "train"},
+                ],
+            },
+            "inference_config": {
+                "crop_size": [args.crop, args.crop],
+                "tile_batch_size": 4,
+                "num_bandwidths": args.num_bandwidths,
+                **({"bandwidth": args.bandwidth} if args.bandwidth else {}),
+                # whole-cell ground truth -> "cell" halo-removal mode
+                "post_processing": "cell",
+                "dataset_config": {
+                    "container_path": str(work / "data.zarr"),
+                    "dataset_name": "train",
+                },
+                "prediction_dataset_config": {
+                    "container_path": str(work / "out.zarr"),
+                    "dataset_name": "embeddings",
+                },
+                "detection_dataset_config": {
+                    "container_path": str(work / "out.zarr"),
+                    "dataset_name": "detection",
+                    "secondary_dataset_name": "embeddings",
+                },
+                "segmentation_dataset_config": {
+                    "container_path": str(work / "out.zarr"),
+                    "dataset_name": "segmentation",
+                    "secondary_dataset_name": "detection",
+                },
+                "evaluation_dataset_config": {
+                    "container_path": str(work / "out.zarr"),
+                    "dataset_name": "groundtruth",
+                    "secondary_dataset_name": "segmentation",
+                },
+            },
+        }
+    )
+
+    if not args.skip_train:
+        cellulus_tpu.train(config)
+
+    if (work / "out.zarr").exists():
+        shutil.rmtree(work / "out.zarr")
+    out = zarr.open(work / "out.zarr", "a")
+    out["groundtruth"] = gt_up[:, None].astype(np.uint16)
+    out["groundtruth"].attrs.update(
+        {"axis_names": ["s", "c", "y", "x"], "resolution": [1, 1]}
+    )
+
+    config.model_config.checkpoint = work / "models" / "best_loss.ckpt"
+    results = cellulus_tpu.infer(config)
+
+    # per-panel scores at the best aggregate-F1 bandwidth
+    best_bw = max(sorted(results), key=lambda i: results[i]["F1"])
+    seg = np.asarray(zarr.open(work / "out.zarr", "r")["segmentation"])
+    rows = []
+    for s in range(seg.shape[0]):
+        res = compute_pairwise_IoU(seg[s, best_bw], gt_up[s])
+        if res is None:
+            continue
+        IoU, seg_sum, n_gt = res
+        f1, tp, fp, fn = compute_F1(IoU)
+        rows.append(
+            {"panel": panel_names[s], "F1": round(f1, 3),
+             "SEG": round(seg_sum / max(n_gt, 1), 3),
+             "paper_F1": paper_f1[s], "n_gt": n_gt}
+        )
+    summary = {
+        "tissue": args.tissue,
+        "iters": args.iters,
+        "object_size": object_size,
+        "best_bandwidth_index": best_bw,
+        "aggregate": {kk: round(vv, 3) for kk, vv in results[best_bw].items()},
+        "paper_mean_panel_F1": round(float(np.mean(paper_f1)), 3),
+        "mean_panel_F1": round(float(np.mean([r["F1"] for r in rows])), 3),
+        "per_panel": rows,
+        "per_tissue_mean_F1": {
+            t: round(float(np.mean(
+                [r["F1"] for r in rows if r["panel"].startswith(t + "/")]
+            )), 3)
+            for t in tissues
+        },
+    }
+    print("RESULTS vs recovered real GT:")
+    print(json.dumps(summary, indent=2))
+    (work / "results.json").write_text(json.dumps(summary, indent=2))
+
+    # overlay previews for visual audit (panel 2 = 50th percentile)
+    from PIL import Image
+    from scipy import ndimage
+
+    s = 2
+    base = (np.clip(raw_up[s, 0], 0, 1) * 255).astype(np.uint8)  # nuclear
+    memb = (np.clip(raw_up[s, 1], 0, 1) * 255).astype(np.uint8)
+    rgb = np.stack([base, memb, memb], -1)
+    lab = seg[s, best_bw]
+    edge = ndimage.maximum_filter(lab, 3) != ndimage.minimum_filter(lab, 3)
+    rgb[edge] = [255, 255, 0]
+    Image.fromarray(rgb).resize((504, 504), Image.NEAREST).save(
+        work / f"{args.tissue}_overlay.png"
+    )
+    print(f"overlay: {work / (args.tissue + '_overlay.png')}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()
