@@ -72,7 +72,7 @@ def main():
 
     work = Path(
         args.workdir or (REPO / "examples" / "real-data" / f"tissuenet_{args.tissue}")
-    )
+    ).resolve()  # resolve BEFORE chdir: relative --workdir must not re-resolve later
     work.mkdir(parents=True, exist_ok=True)
     os.chdir(work)
 

@@ -1,0 +1,198 @@
+"""Sweep detect/segment knobs on a completed TissueNet run's embeddings.
+
+The first real-GT TissueNet runs (scripts/run_real_tissuenet.py) showed the
+quality gap vs the paper is upstream of segment: detection merges neighbors
+and the Otsu foreground misses GT-covered pixels on dense panels. This
+sweep re-runs ONLY detect+segment+evaluate over knob combinations
+(threshold source, mean-shift seeding, bandwidth grid, min_size) on a
+saved workdir — no retraining, no re-predict; scores BOTH the detection
+stage and the final segmentation per panel against the recovered real GT.
+
+Usage:
+  python scripts/run_real_tissuenet.py --tissue immune --scale 3 ...  # once
+  python scripts/sweep_detect_tissuenet.py \
+      --workdir examples/real-data/tissuenet_immune_s3 --tissue immune --scale 3
+
+Results append to <workdir>/detect_sweep.json (one entry per variant).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+
+def per_panel_scores(pred_sk: np.ndarray, gt: np.ndarray):
+    """pred_sk (s, K, y, x) labels, gt (s, y, x) -> per-bandwidth mean panel
+    (F1, SEG) plus per-panel F1 lists."""
+    from cellulus_tpu.evaluate import compute_F1, compute_pairwise_IoU
+
+    out = []
+    for k in range(pred_sk.shape[1]):
+        f1s, segs = [], []
+        for s in range(pred_sk.shape[0]):
+            res = compute_pairwise_IoU(pred_sk[s, k], gt[s])
+            if res is None:
+                f1s.append(0.0)
+                segs.append(0.0)
+                continue
+            IoU, seg_sum, n_gt = res
+            f1, _, _, _ = compute_F1(IoU)
+            f1s.append(float(f1))
+            segs.append(float(seg_sum / max(n_gt, 1)))
+        out.append(
+            {
+                "mean_F1": round(float(np.mean(f1s)), 3),
+                "mean_SEG": round(float(np.mean(segs)), 3),
+                "per_panel_F1": [round(v, 3) for v in f1s],
+            }
+        )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--tissue", default="immune",
+                    choices=("immune", "skin", "lung", "pancreas", "all"))
+    ap.add_argument("--scale", type=int, default=3)
+    ap.add_argument("--object-size", type=int, default=None)
+    ap.add_argument("--num-bandwidths", type=int, default=5)
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated subset of variant names to run")
+    args = ap.parse_args()
+
+    from cellulus_tpu.configs import InferenceConfig
+    from cellulus_tpu.detect import detect
+    from cellulus_tpu.io import zarr
+    from cellulus_tpu.segment import segment
+
+    work = Path(args.workdir).resolve()
+    vendored = REPO / "examples" / "real-data" / "vendored" / "tissuenet"
+    tissues = (
+        ("immune", "skin", "lung", "pancreas")
+        if args.tissue == "all"
+        else (args.tissue,)
+    )
+    gt = np.concatenate([np.load(vendored / f"{t}_gt.npy") for t in tissues])
+    k = args.scale
+    gt_up = np.repeat(np.repeat(gt, k, axis=-2), k, axis=-1)
+
+    if args.object_size is None:
+        areas = np.concatenate(
+            [np.bincount(g.ravel().astype(np.int64))[1:] for g in gt]
+        )
+        areas = areas[areas > 0] * k * k
+        object_size = int(round(2.0 * np.sqrt(np.median(areas) / np.pi)))
+    else:
+        object_size = args.object_size
+    base_bw = 0.5 * object_size
+    base_min_size = int(0.1 * np.pi * object_size**2 / 4)
+
+    # pooled std-channel quantiles as GT-free fixed-threshold candidates
+    # (per-run approximation of a per-sample quantile: panels within a
+    # tissue share an intensity regime)
+    emb = zarr.open(work / "out.zarr", "r")["embeddings"]
+    std_all = np.concatenate(
+        [np.asarray(emb[s])[-1].ravel() for s in range(emb.shape[0])]
+    )
+    q = {p: float(np.percentile(std_all, p)) for p in (50, 60, 70, 80, 90)}
+    print(f"object_size {object_size}; pooled std quantiles "
+          f"{ {p: round(v, 4) for p, v in q.items()} }")
+
+    variants = {
+        "baseline": {},
+        "seeds": {"use_seeds": True},
+        "thr-q50": {"threshold": q[50]},
+        "thr-q60": {"threshold": q[60]},
+        "thr-q70": {"threshold": q[70]},
+        "thr-q80": {"threshold": q[80]},
+        "thr-q90": {"threshold": q[90]},
+        "seeds+thr-q80": {"use_seeds": True, "threshold": q[80]},
+        "minsize-half": {"min_size": base_min_size // 2},
+        "fit-all": {"reduction_probability": 1.0},
+    }
+    if args.variants:
+        names = args.variants.split(",")
+        variants = {n: variants[n] for n in names}
+
+    results_path = work / "detect_sweep.json"
+    all_results = (
+        json.loads(results_path.read_text()) if results_path.exists() else {}
+    )
+
+    for name, overrides in variants.items():
+        ic = InferenceConfig(
+            **{
+                "crop_size": [140, 140],
+                "bandwidth": base_bw,
+                "num_bandwidths": args.num_bandwidths,
+                "min_size": base_min_size,
+                "post_processing": "cell",
+                "dataset_config": {
+                    "container_path": str(work / "data.zarr"),
+                    "dataset_name": "train",
+                },
+                "detection_dataset_config": {
+                    "container_path": str(work / "out.zarr"),
+                    "dataset_name": "detection",
+                    "secondary_dataset_name": "embeddings",
+                },
+                "segmentation_dataset_config": {
+                    "container_path": str(work / "out.zarr"),
+                    "dataset_name": "segmentation",
+                    "secondary_dataset_name": "detection",
+                },
+                **overrides,
+            }
+        )
+        for ds in ("detection", "binary-segmentation", "centered-embeddings",
+                   "segmentation"):
+            p = work / "out.zarr" / ds
+            if p.exists():
+                shutil.rmtree(p)
+        detect(ic)
+        segment(ic)
+        out = zarr.open(work / "out.zarr", "r")
+        det_scores = per_panel_scores(np.asarray(out["detection"]), gt_up)
+        seg_scores = per_panel_scores(np.asarray(out["segmentation"]), gt_up)
+        best_det = max(range(len(det_scores)),
+                       key=lambda i: det_scores[i]["mean_F1"])
+        best_seg = max(range(len(seg_scores)),
+                       key=lambda i: seg_scores[i]["mean_F1"])
+        entry = {
+            "overrides": {kk: round(vv, 4) if isinstance(vv, float) else vv
+                          for kk, vv in overrides.items()},
+            "object_size": object_size,
+            "detection": det_scores,
+            "segmentation": seg_scores,
+            "best": {
+                "det_bw_index": best_det,
+                "det_mean_F1": det_scores[best_det]["mean_F1"],
+                "seg_bw_index": best_seg,
+                "seg_mean_F1": seg_scores[best_seg]["mean_F1"],
+                "seg_mean_SEG": seg_scores[best_seg]["mean_SEG"],
+            },
+        }
+        all_results[name] = entry
+        results_path.write_text(json.dumps(all_results, indent=2))
+        print(f"[{name}] det F1 {entry['best']['det_mean_F1']:.3f} "
+              f"(bw idx {best_det}) | seg F1 "
+              f"{entry['best']['seg_mean_F1']:.3f} "
+              f"SEG {entry['best']['seg_mean_SEG']:.3f} (bw idx {best_seg})",
+              flush=True)
+
+    print(json.dumps({n: r["best"] for n, r in all_results.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
