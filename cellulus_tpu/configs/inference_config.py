@@ -29,7 +29,15 @@ class InferenceConfig:
         num_infer_iterations: TTA passes per noise value (total passes is
             ``2 * num_infer_iterations``).
         threshold: Foreground/background threshold on the uncertainty channel;
-            ``None`` = Otsu.
+            ``None`` = Otsu (or ``threshold_quantile`` when set).
+        threshold_quantile: TPU extension — per-sample foreground threshold
+            at this percentile (0-100) of the sample's uncertainty channel
+            instead of Otsu. On dense tissue where foreground covers most of
+            the image, Otsu's bimodal assumption breaks and cuts into real
+            objects (measured on the recovered TissueNet panels: Otsu sits
+            near the 60th percentile and misses up to 40% of GT-covered
+            pixels; quantile 90 raised mean panel F1 0.255 -> 0.344).
+            Mutually exclusive with ``threshold``.
         clustering: "meanshift" or "greedy".
         use_seeds: Seed mean-shift from minima of the smoothed offset field.
         bandwidth: Mean-shift bandwidth; ``None`` = ``0.5 * object_size``.
@@ -65,6 +73,7 @@ class InferenceConfig:
     p_salt_pepper: float = 0.01
     num_infer_iterations: int = 16
     threshold: Optional[float] = None
+    threshold_quantile: Optional[float] = None
     clustering: str = "meanshift"
     use_seeds: bool = False
     bandwidth: Optional[float] = None
@@ -99,6 +108,14 @@ class InferenceConfig:
             raise ValueError("post_processing must be 'cell' or 'nucleus'")
         if self.threshold is not None:
             self.threshold = float(self.threshold)
+        if self.threshold_quantile is not None:
+            self.threshold_quantile = float(self.threshold_quantile)
+            if not 0.0 < self.threshold_quantile < 100.0:
+                raise ValueError("threshold_quantile must be in (0, 100)")
+            if self.threshold is not None:
+                raise ValueError(
+                    "threshold and threshold_quantile are mutually exclusive"
+                )
         if self.bandwidth is not None:
             self.bandwidth = float(self.bandwidth)
         if self.min_size is not None:

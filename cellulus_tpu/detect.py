@@ -46,11 +46,19 @@ def _prep_kernel(spatial: tuple, D: int):
     from .ops.otsu import threshold_otsu_jax
 
     @jax.jit
-    def run(emb, fixed_threshold):
-        # emb: (D+1, *spatial) f32; fixed_threshold: scalar (nan = use Otsu)
+    def run(emb, fixed_threshold, quantile_pct):
+        # emb: (D+1, *spatial) f32; fixed_threshold: scalar (nan = use Otsu);
+        # quantile_pct: scalar percentile in (0, 100) (nan = disabled) —
+        # wins over Otsu, loses to an explicit fixed threshold (the config
+        # rejects setting both).
         std = emb[-1]
         thr = jnp.where(
             jnp.isnan(fixed_threshold), threshold_otsu_jax(std), fixed_threshold
+        )
+        thr = jnp.where(
+            jnp.isnan(quantile_pct) | ~jnp.isnan(fixed_threshold),
+            thr,
+            jnp.quantile(std, quantile_pct / 100.0),
         )
         mask = std < thr
         absolute = emb[:D]
@@ -118,8 +126,11 @@ def _meanshift_detect_device(
 
     ic = inference_config
     fixed = np.float32(ic.threshold if ic.threshold is not None else np.nan)
+    qpct = np.float32(
+        ic.threshold_quantile if ic.threshold_quantile is not None else np.nan
+    )
     thr_dev, mask_dev, X_all = _prep_kernel(tuple(spatial), D)(
-        embeddings_dev, fixed
+        embeddings_dev, fixed, qpct
     )
     threshold = (
         ic.threshold if ic.threshold is not None else float(thr_dev)
@@ -273,10 +284,14 @@ def detect_sample(
         centered = mean_center_embeddings(embeddings, binary_mask)
         return threshold, binary_mask, centered, detections
 
-    if inference_config.threshold is None:
-        threshold = threshold_otsu(embeddings_std)
-    else:
+    if inference_config.threshold is not None:
         threshold = inference_config.threshold
+    elif inference_config.threshold_quantile is not None:
+        threshold = float(
+            np.percentile(embeddings_std, inference_config.threshold_quantile)
+        )
+    else:
+        threshold = threshold_otsu(embeddings_std)
 
     binary_mask = embeddings_std < threshold
     centered = mean_center_embeddings(embeddings, binary_mask)

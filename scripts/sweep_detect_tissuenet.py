@@ -105,7 +105,8 @@ def main() -> None:
     std_all = np.concatenate(
         [np.asarray(emb[s])[-1].ravel() for s in range(emb.shape[0])]
     )
-    q = {p: float(np.percentile(std_all, p)) for p in (50, 60, 70, 80, 90)}
+    q = {p: float(np.percentile(std_all, p))
+         for p in (50, 60, 70, 80, 90, 95, 98)}
     print(f"object_size {object_size}; pooled std quantiles "
           f"{ {p: round(v, 4) for p, v in q.items()} }")
 
@@ -120,6 +121,12 @@ def main() -> None:
         "seeds+thr-q80": {"use_seeds": True, "threshold": q[80]},
         "minsize-half": {"min_size": base_min_size // 2},
         "fit-all": {"reduction_probability": 1.0},
+        "thr-q95": {"threshold": q[95]},
+        "thr-q98": {"threshold": q[98]},
+        "seeds+thr-q90": {"use_seeds": True, "threshold": q[90]},
+        "thr-q90+bw-up": {"threshold": q[90], "bandwidth": 1.5 * base_bw},
+        "thr-q90+minsize-half": {"threshold": q[90],
+                                 "min_size": base_min_size // 2},
     }
     if args.variants:
         names = args.variants.split(",")

@@ -40,6 +40,47 @@ def test_detect_sample_fixed_threshold():
     assert mask.sum() == (emb[2] < 0.5).sum()
 
 
+def test_detect_sample_threshold_quantile():
+    """threshold_quantile keeps exactly that fraction of pixels foreground
+    (per-sample percentile of the uncertainty channel), host and device
+    paths agree, and the config rejects combining it with a fixed
+    threshold."""
+    import pytest
+
+    emb = _synthetic_embeddings()
+    ic = InferenceConfig(
+        bandwidth=8.0,
+        threshold_quantile=90.0,
+        min_size=0,
+        reduction_probability=1.0,
+    )
+    thr, mask, _, det = detect_sample(emb, ic, 2, np.random.default_rng(0))
+    assert thr == float(np.percentile(emb[-1], 90.0))
+    np.testing.assert_array_equal(mask, emb[-1] < thr)
+    # on this fixture q90 of std is the background value 1.0, so the mask
+    # is exactly the two low-std disks; both still cluster
+    assert mask.sum() == (emb[-1] < 1.0).sum()
+    assert len(np.unique(det[0])[np.unique(det[0]) > 0]) == 2
+
+    import os
+
+    os.environ["CELLULUS_TPU_DEVICE_DETECT"] = "1"
+    try:
+        thr_d, mask_d, _, det_d = detect_sample(
+            emb, ic, 2, np.random.default_rng(0)
+        )
+    finally:
+        del os.environ["CELLULUS_TPU_DEVICE_DETECT"]
+    np.testing.assert_allclose(thr_d, thr, rtol=1e-5)
+    np.testing.assert_array_equal(mask_d, mask)
+    np.testing.assert_array_equal(det_d, det)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        InferenceConfig(threshold=0.5, threshold_quantile=90.0)
+    with pytest.raises(ValueError, match="threshold_quantile"):
+        InferenceConfig(threshold_quantile=150.0)
+
+
 def test_detect_sample_with_seeds():
     emb = _synthetic_embeddings()
     ic = InferenceConfig(
