@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--lr-milestones", type=int, nargs="*", default=None,
                     help="iterations at which lr is divided by 10 "
                          "(paper recipe style)")
+    ap.add_argument("--threshold-quantile", type=float, default=None,
+                    help="per-sample foreground quantile (0-100) instead "
+                         "of Otsu (q90 beat Otsu by +0.09 mean panel F1 "
+                         "on immune, detect_sweep.json)")
     args = ap.parse_args()
 
     import cellulus_tpu
@@ -140,6 +144,8 @@ def main():
                 "tile_batch_size": 4,
                 "num_bandwidths": args.num_bandwidths,
                 **({"bandwidth": args.bandwidth} if args.bandwidth else {}),
+                **({"threshold_quantile": args.threshold_quantile}
+                   if args.threshold_quantile else {}),
                 # whole-cell ground truth -> "cell" halo-removal mode
                 "post_processing": "cell",
                 "dataset_config": {
