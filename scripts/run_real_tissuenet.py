@@ -67,6 +67,12 @@ def main():
                     help="per-sample foreground quantile (0-100) instead "
                          "of Otsu (q90 beat Otsu by +0.09 mean panel F1 "
                          "on immune, detect_sweep.json)")
+    ap.add_argument("--normalize-per-panel", action="store_true",
+                    help="stretch each panel/channel so its 99.5th "
+                         "percentile maps to 1.0 — the recovered figure "
+                         "panels carry arbitrary display dimming (immune "
+                         "panel 3's membrane p99 is 0.28); TissueNet's own "
+                         "pipeline normalizes per image")
     args = ap.parse_args()
 
     import cellulus_tpu
@@ -94,6 +100,9 @@ def main():
     paper_f1 = [f for t in tissues for f in PAPER_F1[t]]
     panel_names = [f"{t}/{i}" for t in tissues for i in range(5)]
     k = args.scale
+    if args.normalize_per_panel:
+        p = np.percentile(raw, 99.5, axis=(-2, -1), keepdims=True)
+        raw = np.clip(raw / np.maximum(p, 1e-3), 0.0, 1.0)
     raw_up = upsample_bilinear(raw.astype(np.float32), k)
     gt_up = np.repeat(np.repeat(gt, k, axis=-2), k, axis=-1)
 
