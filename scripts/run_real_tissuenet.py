@@ -67,6 +67,10 @@ def main():
                     help="per-sample foreground quantile (0-100) instead "
                          "of Otsu (q90 beat Otsu by +0.09 mean panel F1 "
                          "on immune, detect_sweep.json)")
+    ap.add_argument("--fast", action="store_true",
+                    help="TPU fast path: elastic augmentation on device + "
+                         "4 steps per dispatch — the 1-core host's elastic "
+                         "workers cap training at ~1.8 it/s otherwise")
     ap.add_argument("--normalize-per-panel", action="store_true",
                     help="stretch each panel/channel so its 99.5th "
                          "percentile maps to 1.0 — the recovered figure "
@@ -137,6 +141,8 @@ def main():
                 "kappa": 10.0,
                 "num_workers": 4,
                 "elastic_deform": True,
+                **({"elastic_on_device": True, "steps_per_dispatch": 4}
+                   if args.fast else {}),
                 "precision": "bfloat16",
                 "save_model_every": max(1000, args.iters // 2),
                 "save_snapshot_every": 10**9,
