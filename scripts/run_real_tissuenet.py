@@ -63,6 +63,12 @@ def main():
     ap.add_argument("--lr-milestones", type=int, nargs="*", default=None,
                     help="iterations at which lr is divided by 10 "
                          "(paper recipe style)")
+    ap.add_argument("--num-fmaps", type=int, default=24,
+                    help="U-Net base feature maps (24 = reference demo, "
+                         "64 = paper Appendix A recipe)")
+    ap.add_argument("--lr", type=float, default=4e-4,
+                    help="initial learning rate (4e-4 = reference demo, "
+                         "4e-5 = paper Appendix A recipe)")
     ap.add_argument("--threshold-quantile", type=float, default=None,
                     help="per-sample foreground quantile (0-100) instead "
                          "of Otsu (q90 beat Otsu by +0.09 mean panel F1 "
@@ -131,12 +137,13 @@ def main():
             "experiment_name": f"real-tissuenet-{args.tissue}",
             "object_size": object_size,
             "normalization_factor": 1.0,  # pixels already in [0, 1]
-            "model_config": {"num_fmaps": 24, "fmap_inc_factor": 3},
+            "model_config": {"num_fmaps": args.num_fmaps,
+                             "fmap_inc_factor": 3},
             "train_config": {
                 "crop_size": [args.crop, args.crop],
                 "batch_size": 8,
                 "max_iterations": args.iters,
-                "initial_learning_rate": 4e-4,
+                "initial_learning_rate": args.lr,
                 "density": 0.1,
                 "kappa": 10.0,
                 "num_workers": 4,

@@ -69,7 +69,15 @@ def main() -> None:
     ap.add_argument("--num-bandwidths", type=int, default=5)
     ap.add_argument("--variants", default=None,
                     help="comma-separated subset of variant names to run")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the detect kernels on CPU (e.g. while the "
+                         "TPU is held by a training run)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from cellulus_tpu.configs import InferenceConfig
     from cellulus_tpu.detect import detect
@@ -127,6 +135,8 @@ def main() -> None:
         "thr-q90+bw-up": {"threshold": q[90], "bandwidth": 1.5 * base_bw},
         "thr-q90+minsize-half": {"threshold": q[90],
                                  "min_size": base_min_size // 2},
+        "greedy": {"clustering": "greedy"},
+        "greedy+thr-q90": {"clustering": "greedy", "threshold": q[90]},
     }
     if args.variants:
         names = args.variants.split(",")
