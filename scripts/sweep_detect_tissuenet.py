@@ -137,6 +137,14 @@ def main() -> None:
                                  "min_size": base_min_size // 2},
         "greedy": {"clustering": "greedy"},
         "greedy+thr-q90": {"clustering": "greedy", "threshold": q[90]},
+        "greedy+thr-q80": {"clustering": "greedy", "threshold": q[80]},
+        "greedy+thr-q95": {"clustering": "greedy", "threshold": q[95]},
+        "greedy+thr-q90+bw-down": {"clustering": "greedy",
+                                   "threshold": q[90],
+                                   "bandwidth": 0.35 * object_size},
+        "greedy+thr-q90+minsize-half": {"clustering": "greedy",
+                                        "threshold": q[90],
+                                        "min_size": base_min_size // 2},
     }
     if args.variants:
         names = args.variants.split(",")
