@@ -108,6 +108,16 @@ class TrainConfig:
             59.9 ms vs 37.1 ms native on v5e (scripts/diag_step_dw.py);
             isolated dw matmuls are a wash (scripts/diag_dw.py). Kept as a
             measured negative result; default off.
+        stop_file: [tpu extension] Graceful-preemption sentinel: touching
+            this file (path relative to the run's working directory, next
+            to ``models/``) makes the loop checkpoint the in-hand state
+            under its true iteration and return cleanly — the safe way to
+            end a device-holding run without killing the process
+            mid-dispatch. A stale sentinel left by a previous stop is
+            removed (with a warning) at startup. Under multi-process
+            training the primary's verdict is broadcast at the
+            ``save_best_model_every`` cadence so every process exits the
+            same step. ``None`` disables the check.
         pair_count_mode: [tpu extension] "reference" replicates the
             reference's anchor-count formula, which uses only the first two
             spatial dims even in 3D (reference ``zarr_dataset.py:244-245``) —
@@ -149,6 +159,7 @@ class TrainConfig:
     packed_dw: bool = False
     pallas_dw: bool = False
     remat: bool = False
+    stop_file: Optional[str] = "STOP"
 
     def __post_init__(self) -> None:
         self.train_data_config = as_config(DatasetConfig, self.train_data_config)

@@ -1062,6 +1062,54 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         raw = put_batch(np.ascontiguousarray(np.moveaxis(raw_np, 1, -1)))
         return raw_np, raw
 
+    # graceful preemption: touching `stop_file` (relative to the run's
+    # working directory, next to models/) checkpoints the in-hand state and
+    # exits the loop cleanly — the safe way to end a device-holding run
+    # (killing the process mid-dispatch can leave a remote device claimed).
+    stop_path = (
+        Path(train_config.stop_file) if train_config.stop_file else None
+    )
+    if stop_path is not None and dist.is_primary() and stop_path.exists():
+        import warnings
+
+        warnings.warn(
+            f"removing stale stop file {stop_path} left by a previous run"
+        )
+        stop_path.unlink()
+    _last_stop_check = start_iteration - 1
+
+    def stop_requested(iteration: int) -> bool:
+        nonlocal _last_stop_check
+        if stop_path is None:
+            return False
+        if multi_process:
+            # every process must exit the same step: the primary's verdict,
+            # broadcast at the best-model cadence (a per-step collective
+            # would cost a dispatch round-trip)
+            if (
+                iteration - _last_stop_check
+                < max(1, train_config.save_best_model_every)
+            ):
+                return False
+            _last_stop_check = iteration
+            from jax.experimental import multihost_utils
+
+            flag = np.int32(stop_path.exists() if dist.is_primary() else 0)
+            return bool(multihost_utils.broadcast_one_to_all(flag))
+        return stop_path.exists()
+
+    def stop_actions(iteration, raw_np):
+        """Checkpoint the in-hand params under their true iteration."""
+        cadence_actions(
+            iteration, None, raw_np,
+            do_best=False, do_ckpt=True, do_snapshot=False,
+        )
+        if dist.is_primary():
+            print(
+                f"Stop file {stop_path} found: checkpointed at iteration "
+                f"{iteration}, exiting the training loop"
+            )
+
     K = train_config.steps_per_dispatch
     with loader:
         batches = iter(loader)
@@ -1095,6 +1143,12 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                     consume(pending)
                     pending = None
                     cadence_actions(iteration, offsets, raw_np)
+                if stop_requested(iteration):
+                    if pending is not None:
+                        consume(pending)
+                        pending = None
+                    stop_actions(iteration, raw_np)
+                    break
         else:
             # K steps fuse into one lax.scan dispatch; per-iteration losses
             # come back as arrays so logging and best-model windows stay
@@ -1179,6 +1233,10 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                         iteration, offsets, raw_np_last,
                         do_best, do_ckpt, do_snapshot,
                     )
+                if stop_requested(chunk_end - 1):
+                    iteration = chunk_end - 1
+                    stop_actions(iteration, raw_np_last)
+                    break
                 it = chunk_end
 
     logger.close()

@@ -77,6 +77,12 @@ def main():
                     help="TPU fast path: elastic augmentation on device + "
                          "4 steps per dispatch — the 1-core host's elastic "
                          "workers cap training at ~1.8 it/s otherwise")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume training from the latest numbered "
+                         "checkpoint in <workdir>/models (for runs stopped "
+                         "via the STOP sentinel or interrupted)")
+    ap.add_argument("--skip-infer", action="store_true",
+                    help="train only (score later with --skip-train)")
     ap.add_argument("--normalize-per-panel", action="store_true",
                     help="stretch each panel/channel so its 99.5th "
                          "percentile maps to 1.0 — the recovered figure "
@@ -198,7 +204,16 @@ def main():
     )
 
     if not args.skip_train:
+        if args.resume:
+            ckpts = sorted((work / "models").glob("0*.ckpt"))
+            if ckpts:
+                config.model_config.checkpoint = ckpts[-1]
+                print(f"resuming from {ckpts[-1]}")
         cellulus_tpu.train(config)
+        config.model_config.checkpoint = None
+
+    if args.skip_infer:
+        return
 
     if (work / "out.zarr").exists():
         shutil.rmtree(work / "out.zarr")

@@ -267,3 +267,50 @@ def test_3d_density_envelope_guard():
         check_3d_density_envelope(3, 0.0125, "all_dims")
         assert len(w) == 3
         assert "below the validated envelope" in str(w[-1].message)
+
+
+def test_stop_file_checkpoints_and_exits(
+    blob_container_2d, tmp_path, monkeypatch
+):
+    """Touching the stop sentinel mid-run ends training early with a
+    resumable checkpoint under the in-hand iteration; a stale sentinel
+    left by a previous stop is cleared at startup instead of instantly
+    killing the new run."""
+    import threading
+    import time
+
+    monkeypatch.chdir(tmp_path)
+    stop = tmp_path / "STOP"
+    stop.touch()  # stale sentinel from a "previous" run
+    done = threading.Event()
+
+    def toucher():
+        # keep touching until train returns: a single touch could land
+        # before the startup stale-clear and be swallowed by it
+        time.sleep(2.0)
+        while not done.is_set():
+            stop.touch()
+            time.sleep(0.5)
+
+    t = threading.Thread(target=toucher, daemon=True)
+    t.start()
+    try:
+        with pytest.warns(UserWarning, match="stale stop file"):
+            state = cellulus_tpu.train(
+                _config(blob_container_2d, max_iterations=100_000)
+            )
+    finally:
+        done.set()
+        t.join()
+    it = int(state["iteration"])
+    assert it < 100_000 - 1  # stopped early
+    ckpt = tmp_path / "models" / (str(it).zfill(6) + ".ckpt")
+    assert ckpt.exists()
+
+    # resume continues from the stopped iteration with intact history
+    stop.unlink()
+    cfg = _config(blob_container_2d, max_iterations=it + 3)
+    cfg.model_config.checkpoint = ckpt
+    state2 = cellulus_tpu.train(cfg)
+    assert int(state2["iteration"]) == it + 2
+    assert len(_losses(state2)) == it + 3
