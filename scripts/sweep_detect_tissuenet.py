@@ -145,6 +145,11 @@ def main() -> None:
         "greedy+thr-q90+minsize-half": {"clustering": "greedy",
                                         "threshold": q[90],
                                         "min_size": base_min_size // 2},
+        "greedy+bw-up": {"clustering": "greedy",
+                         "bandwidth": 0.75 * object_size},
+        "greedy+thr-q90+bw-up": {"clustering": "greedy",
+                                 "threshold": q[90],
+                                 "bandwidth": 0.75 * object_size},
     }
     if args.variants:
         names = args.variants.split(",")
