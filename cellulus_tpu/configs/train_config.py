@@ -113,11 +113,13 @@ class TrainConfig:
             to ``models/``) makes the loop checkpoint the in-hand state
             under its true iteration and return cleanly — the safe way to
             end a device-holding run without killing the process
-            mid-dispatch. A stale sentinel left by a previous stop is
-            removed (with a warning) at startup. Under multi-process
-            training the primary's verdict is broadcast at the
-            ``save_best_model_every`` cadence so every process exits the
-            same step. ``None`` disables the check.
+            mid-dispatch. Only a file touched AFTER the run started
+            counts: a pre-existing file with this name (or a stale
+            sentinel from a previous stop) is ignored with a warning,
+            never deleted. Under multi-process training the primary's
+            verdict is broadcast at the ``save_best_model_every`` cadence
+            so every process exits the same step. ``None`` disables the
+            check.
         pair_count_mode: [tpu extension] "reference" replicates the
             reference's anchor-count formula, which uses only the first two
             spatial dims even in 3D (reference ``zarr_dataset.py:244-245``) —
@@ -189,3 +191,8 @@ class TrainConfig:
             raise ValueError("transfer_precision must be 'float32' or 'native'")
         if self.pair_count_mode not in ("reference", "all_dims"):
             raise ValueError("pair_count_mode must be 'reference' or 'all_dims'")
+        if self.pallas_dw and self.packed_dw:
+            raise ValueError(
+                "pallas_dw and packed_dw are mutually exclusive "
+                "filter-gradient paths; enable at most one"
+            )

@@ -39,7 +39,7 @@ from .ops.peaks import smooth_peak_seeds
 
 
 @lru_cache(maxsize=None)
-def _prep_kernel(spatial: tuple, D: int):
+def _prep_kernel(spatial: tuple, D: int, use_quantile: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -50,16 +50,19 @@ def _prep_kernel(spatial: tuple, D: int):
         # emb: (D+1, *spatial) f32; fixed_threshold: scalar (nan = use Otsu);
         # quantile_pct: scalar percentile in (0, 100) (nan = disabled) —
         # wins over Otsu, loses to an explicit fixed threshold (the config
-        # rejects setting both).
+        # rejects setting both). ``use_quantile`` is a trace-time flag:
+        # jnp.where evaluates both branches, so the quantile's full device
+        # sort must stay out of the common (disabled) program entirely.
         std = emb[-1]
         thr = jnp.where(
             jnp.isnan(fixed_threshold), threshold_otsu_jax(std), fixed_threshold
         )
-        thr = jnp.where(
-            jnp.isnan(quantile_pct) | ~jnp.isnan(fixed_threshold),
-            thr,
-            jnp.quantile(std, quantile_pct / 100.0),
-        )
+        if use_quantile:
+            thr = jnp.where(
+                jnp.isnan(quantile_pct) | ~jnp.isnan(fixed_threshold),
+                thr,
+                jnp.quantile(std, quantile_pct / 100.0),
+            )
         mask = std < thr
         absolute = emb[:D]
         ndim = D
@@ -129,9 +132,9 @@ def _meanshift_detect_device(
     qpct = np.float32(
         ic.threshold_quantile if ic.threshold_quantile is not None else np.nan
     )
-    thr_dev, mask_dev, X_all = _prep_kernel(tuple(spatial), D)(
-        embeddings_dev, fixed, qpct
-    )
+    thr_dev, mask_dev, X_all = _prep_kernel(
+        tuple(spatial), D, ic.threshold_quantile is not None
+    )(embeddings_dev, fixed, qpct)
     threshold = (
         ic.threshold if ic.threshold is not None else float(thr_dev)
     )

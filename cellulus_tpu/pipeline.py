@@ -50,13 +50,19 @@ def infer_pipelined(
     D = meta.num_spatial_dims
 
     # RAM gate: every in-flight sample holds its assembled (D+1, *spatial)
-    # float32 embeddings on the host (plus ~2 samples in the predict/write
-    # stages). Cap the stage workers so the worst case fits the budget
-    # (default: a quarter of system RAM; override via
-    # CELLULUS_TPU_PIPELINE_RAM_GB) instead of OOMing on large 3D volumes.
+    # float32 embeddings on the host, and while its worker runs detect also
+    # holds the mean-centered copy (same shape/dtype) plus the per-bandwidth
+    # uint16 detections. Cap the stage workers so the worst case fits the
+    # budget (default: a quarter of system RAM; override via
+    # CELLULUS_TPU_PIPELINE_RAM_GB), and bound the predict loop's run-ahead
+    # with a semaphore — a worker cap alone would still let every sample's
+    # embeddings queue on the stage pool whenever detect+segment is slower
+    # than predict, growing host memory with sample count.
     import os as _os
 
-    sample_bytes = (D + 1) * int(np.prod(meta.spatial_array)) * 4
+    spatial_px = int(np.prod(meta.spatial_array))
+    emb_bytes = (D + 1) * spatial_px * 4
+    sample_bytes = 2 * emb_bytes + ic.num_bandwidths * spatial_px * 2
     budget_gb = _os.environ.get("CELLULUS_TPU_PIPELINE_RAM_GB")
     if budget_gb is not None:
         budget = float(budget_gb) * (1 << 30)
@@ -67,13 +73,14 @@ def infer_pipelined(
             )
         except (ValueError, OSError):
             budget = 16 * (1 << 30)
-    max_workers = max(1, int(budget // sample_bytes) - 2)
+    max_workers = max(1, int(budget // sample_bytes) - 1)
     if max_workers < num_stage_workers:
         import warnings
 
         warnings.warn(
-            f"pipelined inference holds ~{sample_bytes / 1e9:.1f} GB of "
-            f"embeddings per in-flight sample; capping stage workers "
+            f"pipelined inference holds ~{sample_bytes / 1e9:.1f} GB per "
+            f"in-flight sample (embeddings + detect's centered copy + "
+            f"detections); capping stage workers "
             f"{num_stage_workers} -> {max_workers} to fit the host RAM "
             "budget (override with CELLULUS_TPU_PIPELINE_RAM_GB)",
             RuntimeWarning,
@@ -141,6 +148,12 @@ def infer_pipelined(
 
     devices = jax.devices()
 
+    import threading
+
+    # permits = workers that can hold a finished sample + the one sample
+    # the predict loop is currently assembling
+    inflight = threading.BoundedSemaphore(max(1, num_stage_workers) + 1)
+
     def process_sample(
         sample: int, embeddings: np.ndarray, embeddings_dev=None
     ) -> None:
@@ -152,6 +165,13 @@ def infer_pipelined(
         round-robin across chips (thread-local jax.default_device) so the
         detect/segment stages scale with the mesh alongside predict's
         sharded tile batches."""
+        try:
+            _process_sample(sample, embeddings, embeddings_dev)
+        finally:
+            inflight.release()  # this sample's arrays are dead: let the
+            #  predict loop stage the next one
+
+    def _process_sample(sample, embeddings, embeddings_dev):
         with jax.default_device(devices[sample % len(devices)]):
             # A committed array keeps running ops on ITS device regardless of
             # jax.default_device — move the predict-stage copy to this lane's
@@ -192,6 +212,11 @@ def infer_pipelined(
         stage_futures = []
 
         for sample in range(meta.num_samples):
+            # RAM gate part 2: block until a worker frees a slot before
+            # allocating this sample's embeddings (workers + one sample
+            # being assembled by predict = the gate's sizing assumption)
+            inflight.acquire()
+
             def source(origin, size, sample=sample):
                 return (
                     read_reflect_region(

@@ -825,6 +825,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             print(f"validation disabled: {e}")
             val_batches = None
 
+    dw_mode = "pallas" if train_config.pallas_dw else train_config.packed_dw
     if getattr(train_config, "loss_mode", "pairs") == "grid":
         step = make_train_step_grid(
             spec,
@@ -835,7 +836,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.batch_size,
             compute_dtype,
             input_scale=input_scale,
-            packed_dw="pallas" if train_config.pallas_dw else train_config.packed_dw,
+            packed_dw=dw_mode,
             remat=train_config.remat,
         )
     elif getattr(train_config, "loss_mode", "pairs") == "dense":
@@ -848,7 +849,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.batch_size,
             compute_dtype,
             input_scale=input_scale,
-            packed_dw="pallas" if train_config.pallas_dw else train_config.packed_dw,
+            packed_dw=dw_mode,
             remat=train_config.remat,
         )
     elif train_config.device_pair_sampling:
@@ -861,7 +862,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.batch_size,
             compute_dtype,
             input_scale=input_scale,
-            packed_dw="pallas" if train_config.pallas_dw else train_config.packed_dw,
+            packed_dw=dw_mode,
             remat=train_config.remat,
         )
     else:
@@ -872,7 +873,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             train_config.regularizer_weight,
             compute_dtype,
             input_scale=input_scale,
-            packed_dw="pallas" if train_config.pallas_dw else train_config.packed_dw,
+            packed_dw=dw_mode,
             remat=train_config.remat,
         )
     if train_config.elastic_on_device and train_config.elastic_deform:
@@ -1069,14 +1070,29 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     stop_path = (
         Path(train_config.stop_file) if train_config.stop_file else None
     )
+    import time as _time
+
+    # only a sentinel TOUCHED AFTER this moment requests a stop: a file
+    # that happens to share the name (or a stale sentinel from a previous
+    # stop) is ignored — never deleted — so the default-on feature cannot
+    # destroy user data or kill a run it wasn't aimed at. The 1 s margin
+    # absorbs coarse-mtime filesystems.
+    _stop_epoch = _time.time() - 1.0
     if stop_path is not None and dist.is_primary() and stop_path.exists():
         import warnings
 
         warnings.warn(
-            f"removing stale stop file {stop_path} left by a previous run"
+            f"stop file {stop_path} predates this run and is ignored; "
+            "touch it again to request a graceful stop"
         )
-        stop_path.unlink()
+        _stop_epoch = max(_stop_epoch, stop_path.stat().st_mtime + 1e-3)
     _last_stop_check = start_iteration - 1
+
+    def stop_file_touched() -> bool:
+        try:
+            return stop_path.stat().st_mtime >= _stop_epoch
+        except OSError:
+            return False
 
     def stop_requested(iteration: int) -> bool:
         nonlocal _last_stop_check
@@ -1094,15 +1110,15 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             _last_stop_check = iteration
             from jax.experimental import multihost_utils
 
-            flag = np.int32(stop_path.exists() if dist.is_primary() else 0)
+            flag = np.int32(stop_file_touched() if dist.is_primary() else 0)
             return bool(multihost_utils.broadcast_one_to_all(flag))
-        return stop_path.exists()
+        return stop_file_touched()
 
-    def stop_actions(iteration, raw_np):
+    def stop_actions(iteration, raw_np, already_saved=False):
         """Checkpoint the in-hand params under their true iteration."""
         cadence_actions(
             iteration, None, raw_np,
-            do_best=False, do_ckpt=True, do_snapshot=False,
+            do_best=False, do_ckpt=not already_saved, do_snapshot=False,
         )
         if dist.is_primary():
             print(
@@ -1147,7 +1163,14 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                     if pending is not None:
                         consume(pending)
                         pending = None
-                    stop_actions(iteration, raw_np)
+                    stop_actions(
+                        iteration, raw_np,
+                        already_saved=is_cadence
+                        and (
+                            iteration % train_config.save_model_every == 0
+                            or iteration == train_config.max_iterations - 1
+                        ),
+                    )
                     break
         else:
             # K steps fuse into one lax.scan dispatch; per-iteration losses
@@ -1235,7 +1258,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                     )
                 if stop_requested(chunk_end - 1):
                     iteration = chunk_end - 1
-                    stop_actions(iteration, raw_np_last)
+                    stop_actions(iteration, raw_np_last, already_saved=do_ckpt)
                     break
                 it = chunk_end
 

@@ -81,8 +81,30 @@ def check_file(path: Path) -> list[Finding]:
     noqa_lines = {
         i + 1 for i, ln in enumerate(src.splitlines()) if "# noqa" in ln
     }
+    # imports inside try: blocks are feature probes (except ImportError
+    # fallbacks) — exempt from the unused-import check
+    try_import_lines: set[int] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Try):
+            for sub in ast.walk(node):
+                if isinstance(sub, (ast.Import, ast.ImportFrom)):
+                    try_import_lines.add(sub.lineno)
+    in_package = "cellulus_tpu" in path.parts
 
     for node in ast.walk(tree):
+        if (
+            in_package
+            and path.name not in PRINT_OK
+            and isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "print"
+            and node.lineno not in noqa_lines
+        ):
+            findings.append(
+                Finding(path, node.lineno,
+                        "print() outside the CLI-facing allowlist "
+                        "(use warnings/utils.progress, or # noqa)")
+            )
         if isinstance(node, ast.ImportFrom) and any(a.name == "*" for a in node.names):
             if node.lineno not in noqa_lines:
                 findings.append(Finding(path, node.lineno, "wildcard import"))
@@ -91,9 +113,8 @@ def check_file(path: Path) -> list[Finding]:
                 continue
             if isinstance(node, ast.ImportFrom) and node.module == "__future__":
                 continue
-            if node.lineno in noqa_lines:
+            if node.lineno in noqa_lines or node.lineno in try_import_lines:
                 continue
-            # Imports inside try: blocks are feature probes — skip.
             for alias in node.names:
                 if alias.name == "*":
                     continue

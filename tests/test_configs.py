@@ -138,3 +138,12 @@ def test_validation_loss_logged(blob_container_2d, tmp_path, monkeypatch):
     state = cellulus_tpu.train(config)
     assert len(state["logger_data"]["val_loss"]) == 1
     assert np.isfinite(state["logger_data"]["val_loss"][0])
+
+
+def test_dw_paths_mutually_exclusive():
+    import pytest
+
+    from cellulus_tpu.configs import TrainConfig
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        TrainConfig(pallas_dw=True, packed_dw=True)

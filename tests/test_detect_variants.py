@@ -40,7 +40,7 @@ def test_detect_sample_fixed_threshold():
     assert mask.sum() == (emb[2] < 0.5).sum()
 
 
-def test_detect_sample_threshold_quantile():
+def test_detect_sample_threshold_quantile(monkeypatch):
     """threshold_quantile keeps exactly that fraction of pixels foreground
     (per-sample percentile of the uncertainty channel), host and device
     paths agree, and the config rejects combining it with a fixed
@@ -62,15 +62,11 @@ def test_detect_sample_threshold_quantile():
     assert mask.sum() == (emb[-1] < 1.0).sum()
     assert len(np.unique(det[0])[np.unique(det[0]) > 0]) == 2
 
-    import os
-
-    os.environ["CELLULUS_TPU_DEVICE_DETECT"] = "1"
-    try:
-        thr_d, mask_d, _, det_d = detect_sample(
-            emb, ic, 2, np.random.default_rng(0)
-        )
-    finally:
-        del os.environ["CELLULUS_TPU_DEVICE_DETECT"]
+    monkeypatch.setenv("CELLULUS_TPU_DEVICE_DETECT", "1")
+    thr_d, mask_d, _, det_d = detect_sample(
+        emb, ic, 2, np.random.default_rng(0)
+    )
+    monkeypatch.delenv("CELLULUS_TPU_DEVICE_DETECT")
     np.testing.assert_allclose(thr_d, thr, rtol=1e-5)
     np.testing.assert_array_equal(mask_d, mask)
     np.testing.assert_array_equal(det_d, det)

@@ -273,8 +273,8 @@ def test_stop_file_checkpoints_and_exits(
     blob_container_2d, tmp_path, monkeypatch
 ):
     """Touching the stop sentinel mid-run ends training early with a
-    resumable checkpoint under the in-hand iteration; a stale sentinel
-    left by a previous stop is cleared at startup instead of instantly
+    resumable checkpoint under the in-hand iteration; a pre-existing file
+    with the sentinel name is ignored (not deleted) instead of instantly
     killing the new run."""
     import threading
     import time
@@ -286,7 +286,8 @@ def test_stop_file_checkpoints_and_exits(
 
     def toucher():
         # keep touching until train returns: a single touch could land
-        # before the startup stale-clear and be swallowed by it
+        # before train() records its start epoch and be classed as
+        # pre-existing
         time.sleep(2.0)
         while not done.is_set():
             stop.touch()
@@ -295,7 +296,7 @@ def test_stop_file_checkpoints_and_exits(
     t = threading.Thread(target=toucher, daemon=True)
     t.start()
     try:
-        with pytest.warns(UserWarning, match="stale stop file"):
+        with pytest.warns(UserWarning, match="predates this run"):
             state = cellulus_tpu.train(
                 _config(blob_container_2d, max_iterations=100_000)
             )
