@@ -241,10 +241,17 @@ def main():
              "SEG": round(seg_sum / max(n_gt, 1), 3),
              "paper_F1": paper_f1[s], "n_gt": n_gt}
         )
+    ckpt = work / "models" / "best_loss.ckpt"
     summary = {
         "tissue": args.tissue,
         "iters": args.iters,
         "object_size": object_size,
+        # provenance: which flags + which checkpoint produced these scores
+        # (a later re-predict into the same workdir makes old results.json
+        # files silently stale otherwise)
+        "flags": {k: v for k, v in vars(args).items()
+                  if k not in ("workdir",)},
+        "checkpoint_mtime": int(ckpt.stat().st_mtime) if ckpt.exists() else None,
         "best_bandwidth_index": best_bw,
         "aggregate": {kk: round(vv, 3) for kk, vv in results[best_bw].items()},
         "paper_mean_panel_F1": round(float(np.mean(paper_f1)), 3),
