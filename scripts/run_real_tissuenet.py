@@ -77,6 +77,9 @@ def main():
                     help="TPU fast path: elastic augmentation on device + "
                          "4 steps per dispatch — the 1-core host's elastic "
                          "workers cap training at ~1.8 it/s otherwise")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (e.g. while the TPU is held or "
+                         "wedged); flips the JAX platform before first use")
     ap.add_argument("--resume", action="store_true",
                     help="resume training from the latest numbered "
                          "checkpoint in <workdir>/models (for runs stopped "
@@ -90,6 +93,11 @@ def main():
                          "panel 3's membrane p99 is 0.28); TissueNet's own "
                          "pipeline normalizes per image")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import cellulus_tpu
     from cellulus_tpu.configs import ExperimentConfig
