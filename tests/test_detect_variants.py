@@ -159,3 +159,39 @@ def test_smooth_peak_seeds_matches_scipy():
         got = smooth_peak_seeds(x, sigma=2.0)
         assert got.shape == expect.shape, (got.shape, expect.shape)
         np.testing.assert_array_equal(got, expect)
+
+    # large realistic field: COORDINATES are exact as a set; the
+    # intensity-descending order may swap ULP-tied peaks (documented
+    # contract — the device gaussian and scipy accumulate in different
+    # orders). Order swaps must be confined to value ties.
+    x = rng.random((512, 512)).astype(np.float32)
+    x = gaussian_filter(x, 3.0)
+    smooth = gaussian_filter(x, sigma=2)
+    expect = np.flip(peak_local_max(-smooth), 1).astype(np.float32)
+    got = smooth_peak_seeds(x, sigma=2.0)
+    assert got.shape == expect.shape
+    assert set(map(tuple, got.tolist())) == set(map(tuple, expect.tolist()))
+    swapped = (got != expect).any(1)
+    if swapped.any():
+        vals_got = smooth[tuple(np.flip(got[swapped], 1).astype(int).T)]
+        vals_exp = smooth[tuple(np.flip(expect[swapped], 1).astype(int).T)]
+        np.testing.assert_allclose(vals_got, vals_exp, rtol=1e-5)
+
+
+def test_smooth_peak_seeds_cross_check_flag(monkeypatch):
+    """CELLULUS_TPU_CHECK_SEEDS re-runs the scipy oracle per call: silent
+    when the device path agrees (it does on this fixture)."""
+    import warnings
+
+    import numpy as np
+    from scipy.ndimage import gaussian_filter
+
+    from cellulus_tpu.ops.peaks import smooth_peak_seeds
+
+    rng = np.random.default_rng(3)
+    x = gaussian_filter(rng.random((41, 37)).astype(np.float32), 3.0)
+    monkeypatch.setenv("CELLULUS_TPU_CHECK_SEEDS", "1")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        smooth_peak_seeds(x, sigma=2.0)
+    assert not [x for x in w if "diverged" in str(x.message)]
