@@ -49,7 +49,44 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def probe_device(timeout_s: float) -> bool:
+    """Check that the default JAX backend can initialize, in a SUBPROCESS.
+
+    A killed device-holding process can leave the remote axon session
+    claimed, after which every new process hangs forever inside backend
+    init (no error, no logs). Probing in a child keeps this process
+    healthy so it can emit an honest error record instead of hanging the
+    caller (the round driver runs bench unattended)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    probe_timeout = float(os.environ.get("BENCH_DEVICE_PROBE_TIMEOUT", "300"))
+    if not probe_device(probe_timeout):
+        log(
+            f"device backend failed to initialize within {probe_timeout:.0f}s "
+            "(wedged remote session?) — emitting an error record instead of "
+            "hanging"
+        )
+        print(json.dumps({
+            "metric": "inference_tiles_per_sec",
+            "value": 0.0,
+            "unit": "tiles/s",
+            "vs_baseline": 0.0,
+            "error": "device init timed out; see NOTES.md (axon wedge)",
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 
