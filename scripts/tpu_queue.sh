@@ -1,0 +1,68 @@
+#!/bin/bash
+# Wait for the wedged axon TPU session to clear, then run the TissueNet
+# study queue end-to-end. Designed to run DETACHED (setsid): every child
+# terminates on its own via max_iterations, and each training run can be
+# stopped gracefully by touching <workdir>/STOP (train_config.stop_file)
+# — never kill a device-holding process (NOTES.md: axon wedge).
+#
+# Usage: setsid bash scripts/tpu_queue.sh > /tmp/tpu_queue.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+RD=examples/real-data
+SKIN_PID="${SKIN_PID:-}"   # optional: PID of a CPU skin run to stop first
+
+log() { echo "[$(date +%H:%M:%S)] $*"; }
+
+log "watcher: waiting for device init to succeed (probe every 5 min)"
+while true; do
+  if timeout 240 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+    break
+  fi
+  sleep 300
+done
+log "device healthy"
+
+# gracefully stop an in-flight CPU skin training (it checkpoints at the
+# sentinel and exits; the TPU run below resumes from that checkpoint)
+if [ -n "$SKIN_PID" ] && [ -d "/proc/$SKIN_PID" ] \
+   && grep -q run_real_tissuenet "/proc/$SKIN_PID/cmdline" 2>/dev/null; then
+  log "stopping CPU skin run ($SKIN_PID) via STOP sentinel"
+  touch "$RD/tissuenet_skin_s3/STOP"
+  while [ -d "/proc/$SKIN_PID" ]; do sleep 10; done
+  rm -f "$RD/tissuenet_skin_s3/STOP"
+  log "CPU skin run exited"
+fi
+
+run() { log "RUN $*"; "$@"; log "DONE (exit $?) $*"; }
+
+# per-tissue scale-3 runs (reference demo recipe + the dense-tissue
+# threshold; --fast = on-device elastic + 4-step dispatch, the measured
+# TPU path). skin resumes from the CPU checkpoints if present.
+run python -u scripts/run_real_tissuenet.py --tissue skin --scale 3 \
+    --iters 5000 --resume --fast --threshold-quantile 90 \
+    --workdir "$RD/tissuenet_skin_s3"
+run python -u scripts/run_real_tissuenet.py --tissue lung --scale 3 \
+    --iters 5000 --resume --fast --threshold-quantile 90 \
+    --workdir "$RD/tissuenet_lung_s3"
+run python -u scripts/run_real_tissuenet.py --tissue pancreas --scale 3 \
+    --iters 5000 --resume --fast --threshold-quantile 90 \
+    --workdir "$RD/tissuenet_pancreas_s3"
+# paper-style recipe on immune (10k iters, lr/10 at 6k and 8k)
+run python -u scripts/run_real_tissuenet.py --tissue immune --scale 3 \
+    --iters 10000 --resume --fast --threshold-quantile 90 \
+    --lr-milestones 6000 8000 --workdir "$RD/tissuenet_immune_s3b"
+
+# detect/segment re-clustering sweeps on the saved embeddings (CPU so the
+# numbers don't depend on tunnel health; greedy is the dense-tissue recipe)
+VARIANTS="baseline,thr-q90,greedy,greedy+thr-q90,greedy+thr-q95"
+for t in skin lung pancreas; do
+  run python -u scripts/sweep_detect_tissuenet.py \
+      --workdir "$RD/tissuenet_${t}_s3" --tissue "$t" --scale 3 --cpu \
+      --variants "$VARIANTS"
+done
+run python -u scripts/sweep_detect_tissuenet.py \
+    --workdir "$RD/tissuenet_immune_s3b" --tissue immune --scale 3 --cpu \
+    --variants "$VARIANTS"
+
+log "queue complete; report:"
+python scripts/tissuenet_report.py
