@@ -28,13 +28,21 @@ SUBSAMPLE = 4
 
 def required_margin(crop_size: Tuple[int, ...], control_point_jitter: float) -> int:
     """Margin (per side, per dim) the source read needs so that any rotation/
-    scale/jitter stays inside the padded region."""
+    scale/jitter stays inside the padded region.
+
+    Rotation and scale COMPOSE multiplicatively (the sampling grid is
+    rotated, then divided by scale), so a square crop's corner lands at
+    radius ``(side-1)/2 * sqrt(2) / scale_min`` in source coordinates —
+    adding the two margins linearly (as before) under-read for crop sides
+    beyond ~250 px, letting map_coordinates' reflect mode silently fill
+    corners with mirrored content."""
     side = max(crop_size)
-    # 45-degree rotation of the crop needs up to (sqrt(2)-1)/2 of the side
-    rot = int(math.ceil(side * (math.sqrt(2) - 1) / 2)) + 1
-    scale = int(math.ceil(side * (1.0 / SCALE_INTERVAL[0] - 1) / 2)) + 1
+    rot_scale = (
+        int(math.ceil((side - 1) / 2 * (math.sqrt(2) / SCALE_INTERVAL[0] - 1)))
+        + 1
+    )
     jitter = int(math.ceil(4 * control_point_jitter)) + 1
-    return rot + scale + jitter
+    return rot_scale + jitter
 
 
 def elastic_deform(

@@ -221,6 +221,20 @@ class ConcatDataset:
         self.seed = first.seed
         self.sampler = first.sampler
         self.sample_pairs = first.sample_pairs
+        self.meta = first.meta
+
+    @property
+    def normalization_factor(self):
+        """Shared scale for transfer_precision="native" (normalization then
+        happens on device with ONE scalar, so the members must agree)."""
+        factors = {ds.normalization_factor for ds in self.datasets}
+        if len(factors) > 1:
+            raise ValueError(
+                "transfer_precision='native' needs every train dataset to "
+                f"share one normalization factor, got {sorted(factors)}; "
+                "use float32 transfer or normalize the containers alike"
+            )
+        return next(iter(factors))
 
     def iterate(self, seed: int):
         rng = np.random.default_rng(seed)

@@ -48,6 +48,11 @@ class _ChunkCache:
         self._lock = threading.Lock()
         self._data: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
         self._bytes = 0
+        # write-generation per key: a reader that loaded file bytes BEFORE a
+        # concurrent replace+invalidate must not cache them afterwards (the
+        # stale entry would serve every later read). Ints only, bounded by
+        # the number of distinct chunks ever written in this process.
+        self._gen: dict = {}
 
     def get(self, key) -> Optional[np.ndarray]:
         with self._lock:
@@ -56,10 +61,16 @@ class _ChunkCache:
                 self._data.move_to_end(key)
             return arr
 
-    def put(self, key, arr: np.ndarray) -> None:
+    def generation(self, key) -> int:
+        with self._lock:
+            return self._gen.get(key, 0)
+
+    def put(self, key, arr: np.ndarray, gen: Optional[int] = None) -> None:
         if arr.nbytes > self.max_bytes // 4:
             return
         with self._lock:
+            if gen is not None and self._gen.get(key, 0) != gen:
+                return  # the chunk was rewritten while we read the old file
             old = self._data.pop(key, None)
             if old is not None:
                 self._bytes -= old.nbytes
@@ -71,6 +82,7 @@ class _ChunkCache:
 
     def invalidate(self, key) -> None:
         with self._lock:
+            self._gen[key] = self._gen.get(key, 0) + 1
             old = self._data.pop(key, None)
             if old is not None:
                 self._bytes -= old.nbytes
@@ -172,11 +184,10 @@ def _default_chunks(shape: Tuple[int, ...], dtype: np.dtype) -> Tuple[int, ...]:
     # a time by the pipeline)
     itemsize = np.dtype(dtype).itemsize
     target = 16 * 1024 * 1024
-    for i in range(len(chunks)):
-        nbytes = itemsize * int(np.prod(chunks))
-        if nbytes <= target:
-            break
-        # halve the largest remaining axis
+    # halve the largest axis until under target (a for-loop bounded by ndim
+    # left 64+ MiB chunks for large 2D samples — each partial write then
+    # pays a full read-modify-write of that chunk)
+    while itemsize * int(np.prod(chunks)) > target and max(chunks) > 1:
         j = int(np.argmax(chunks))
         chunks[j] = max(1, (chunks[j] + 1) // 2)
     # always chunk the sample axis at 1 when the array looks like (s, c, ...)
@@ -263,6 +274,7 @@ class Array:
         cached = _chunk_cache.get(key)
         if cached is not None:
             return cached
+        gen = _chunk_cache.generation(key)  # BEFORE touching the file
         p = self._chunk_path(cidx)
         if not p.exists():
             chunk = np.full(self.chunks, self.fill_value, dtype=self.dtype)
@@ -277,7 +289,7 @@ class Array:
                     f"decompression): {type(e).__name__}: {e}"
                 ) from e
         chunk.flags.writeable = False  # cached copies are shared, keep immutable
-        _chunk_cache.put(key, chunk)
+        _chunk_cache.put(key, chunk, gen=gen)
         return chunk
 
     def _write_chunk(self, cidx: Tuple[int, ...], data: np.ndarray) -> None:

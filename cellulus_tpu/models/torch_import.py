@@ -110,15 +110,26 @@ def torch_state_dict_to_params(sd: Dict[str, Any]) -> Dict[str, Any]:
         lv: level_channels[lv] + level_channels[lv + 1]
         for lv in range(len(ordered) - 1)
     }
+    up_order = sorted(up)
+    if not top_first:
+        up_order = list(reversed(up_order))
     for torch_lvl, convs in up.items():
         c_in = convs[min(convs)]["weight"].shape[1]
         matches = [lv for lv, ci in expected_in.items() if ci == c_in]
-        if len(matches) != 1:
+        if len(matches) == 1:
+            my_lvl = matches[0]
+        elif len(matches) > 1 and len(set(expected_in.values())) == 1:
+            # degenerate channel counts (fmap_inc_factor == 1): every up
+            # level expects the same input width, so identify positionally
+            # in the down path's orientation (funlib pairs r_conv.0.<l>
+            # with l_conv.<l>)
+            my_lvl = up_order.index(torch_lvl)
+        else:
             raise ValueError(
                 f"cannot identify up-path level for r_conv.0.{torch_lvl} "
                 f"(input channels {c_in}, expected one of {expected_in})"
             )
-        params["up"][f"level{matches[0]}"] = pass_params(convs)
+        params["up"][f"level{my_lvl}"] = pass_params(convs)
     if len(params["up"]) != len(ordered) - 1:
         raise ValueError(
             f"found {len(params['up'])} up-path conv passes, expected "

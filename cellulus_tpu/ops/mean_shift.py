@@ -450,6 +450,11 @@ def mean_shift_segmentation(
     Args:
         embedding_mean: ``(1, D, *spatial)`` or ``(D, *spatial)`` offsets.
         embedding_std: ``(*spatial,)`` uncertainty channel.
+        min_size: accepted and IGNORED — a reference-parity signature
+            quirk: the reference's ``mean_shift_segmentation`` takes
+            ``min_size`` and never reads it (reference
+            ``utils/mean_shift.py:6-44``); size filtering happens in the
+            segment stage.
         threshold: foreground threshold (std < threshold is foreground).
         seeds: optional ``(P, D)`` x-first seed coordinates.
 

@@ -667,7 +667,13 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             # process-disjoint crop streams: each host samples its own share
             # of the global batch
             seed=train_config.seed + 10007 * dist.process_index(),
-            sample_pairs=not train_config.device_pair_sampling,
+            # host pair coordinates are consumed only by the host-sampled
+            # "pairs" step; grid/dense modes are key-driven and would
+            # otherwise stack + ship ~9 MB/batch of unused int32
+            sample_pairs=(
+                not train_config.device_pair_sampling
+                and getattr(train_config, "loss_mode", "pairs") == "pairs"
+            ),
             normalize=not native_transfer,
             pair_count_mode=train_config.pair_count_mode,
             elastic_device=train_config.elastic_on_device,
@@ -1158,7 +1164,17 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                 if is_cadence:
                     consume(pending)
                     pending = None
-                    cadence_actions(iteration, offsets, raw_np)
+                    snap_offsets = offsets
+                    if (
+                        train_config.elastic_on_device
+                        and train_config.elastic_deform
+                        and iteration % train_config.save_snapshot_every == 0
+                    ):
+                        # the composed step's offsets describe the DEFORMED
+                        # crop; snapshots must pair raw_np with ITS OWN
+                        # forward (same recipe as the K>1 path)
+                        snap_offsets = snapshot_forward(params, raw)
+                    cadence_actions(iteration, snap_offsets, raw_np)
                 if stop_requested(iteration):
                     if pending is not None:
                         consume(pending)

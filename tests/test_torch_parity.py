@@ -130,3 +130,25 @@ def test_tiled_prediction_matches_torch_forward():
     np.testing.assert_allclose(mine[:2], ref, atol=3e-4, rtol=1e-3)
     # uncertainty channel is exactly 0 with a single noiseless pass
     np.testing.assert_allclose(mine[2], 0.0, atol=1e-6)
+
+
+def test_torch_export_roundtrip_fmap_inc_factor_1(tmp_path):
+    """fmap_inc_factor=1 makes every level's channel counts identical, so
+    the up-path cannot be identified by input width — the importer must
+    fall back to positional mapping instead of raising (and the roundtrip
+    must stay exact so weights land on their own spatial levels)."""
+    import jax
+
+    from cellulus_tpu.models.torch_export import save_torch_checkpoint
+    from cellulus_tpu.utils.checkpoint import load_checkpoint
+
+    spec, params, _ = _build_pair(factors=((2, 2), (2, 2)), inc=1)
+    path = tmp_path / "export_inc1.pth"
+    save_torch_checkpoint(path, params, iteration=3, lowest_loss=1.0)
+    reimported = load_checkpoint(path)
+    for a, b in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(reimported["params"])[0],
+    ):
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))

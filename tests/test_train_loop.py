@@ -315,3 +315,37 @@ def test_stop_file_checkpoints_and_exits(
     state2 = cellulus_tpu.train(cfg)
     assert int(state2["iteration"]) == it + 2
     assert len(_losses(state2)) == it + 3
+
+
+def test_multi_dataset_native_transfer(blob_container_2d, tmp_path, monkeypatch):
+    """train_data_configs + transfer_precision='native' trains (the
+    ConcatDataset exposes the members' shared normalization factor), and
+    disagreeing member factors are rejected up front."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _config(blob_container_2d, max_iterations=2,
+                  transfer_precision="native")
+    cfg.train_config.train_data_configs = [
+        cfg.train_config.train_data_config,
+        cfg.train_config.train_data_config,
+    ]
+    cfg.train_config.train_data_config = None
+    state = cellulus_tpu.train(cfg)
+    assert len(_losses(state)) == 2
+
+    from cellulus_tpu.datasets.zarr_dataset import ConcatDataset
+
+    class _Fake:
+        num_channels = 1
+        num_spatial_dims = 2
+        output_shape = (10, 10)
+        seed = 0
+        sampler = None
+        sample_pairs = False
+        meta = None
+
+        def __init__(self, f):
+            self.normalization_factor = f
+
+    cd = ConcatDataset([_Fake(1 / 255), _Fake(1 / 65535)])
+    with pytest.raises(ValueError, match="normalization factor"):
+        cd.normalization_factor
