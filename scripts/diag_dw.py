@@ -62,6 +62,15 @@ def timed(fn, w0, flops, label):
     return t
 
 
+
+def _pert(w):
+    """Tiny w-derived scalar: value-neutral after bf16 rounding, but makes
+    the (otherwise w-independent) filter-grad INPUT depend on the loop
+    carry — the loss is linear in w, so dw never reads w and XLA's
+    while-loop LICM could hoist the whole conv/dot out of the fori_loop,
+    timing an empty loop (the elision failure NOTES.md warns about)."""
+    return (w.reshape(-1)[0].astype(jnp.float32) * 1e-24).astype(jnp.bfloat16)
+
 def dn(ndim=2):
     return lax.conv_dimension_numbers(
         (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
@@ -81,9 +90,10 @@ def bench_layer(B, H, Ci, Co, k):
 
     # (a) XLA native filter grad
     def native(w):
+        xp = x + _pert(w)
         f = lambda ww: jnp.sum(
             lax.conv_general_dilated(
-                x, ww, (1, 1), "VALID", dimension_numbers=dn()
+                xp, ww, (1, 1), "VALID", dimension_numbers=dn()
             ).astype(jnp.float32)
             * dy.astype(jnp.float32)
         )
@@ -94,7 +104,7 @@ def bench_layer(B, H, Ci, Co, k):
     if k == 1:
         # (c) explicit matmul
         def mm(w):
-            a = x.reshape(-1, Ci)
+            a = (x + _pert(w)).reshape(-1, Ci)
             b = dy.reshape(-1, Co)
             dw = jax.lax.dot_general(
                 a,
@@ -109,8 +119,9 @@ def bench_layer(B, H, Ci, Co, k):
 
     # (b) packed matmul
     def packed(w):
-        # A[ky] = x[:, ky:ky+Hp, :, :]  -> (3, B, Hp, W, Ci)
-        A = jnp.stack([x[:, ky : ky + Hp] for ky in range(k)], 0)
+        xp = x + _pert(w)
+        # A[ky] = xp[:, ky:ky+Hp, :, :]  -> (3, B, Hp, W, Ci)
+        A = jnp.stack([xp[:, ky : ky + Hp] for ky in range(k)], 0)
         # P[kx][..., x, :] = dy[..., x-kx, :] zero-padded to width H
         P = jnp.stack(
             [
@@ -141,7 +152,8 @@ def bench_splitk(B, H, Ci, Co, k, G=8):
     flops = 2 * B * Hp * Hp * k * k * Ci * Co
 
     def splitk(w):
-        A = jnp.stack([x[:, ky : ky + Hp] for ky in range(k)], 0)
+        xp = x + _pert(w)
+        A = jnp.stack([xp[:, ky : ky + Hp] for ky in range(k)], 0)
         P = jnp.stack(
             [
                 jnp.pad(dy, ((0, 0), (0, 0), (kx, H - Hp - kx), (0, 0)))

@@ -68,15 +68,19 @@ def bench_layer(B, H, Ci, Co):
 
     def native_step(s):
         x_, g_, w = s
+        # w-derived, value-neutral input pert (LICM guard, see diag_dw._pert)
+        pert = (w[0, 0, 0, 0].astype(jnp.float32) * 1e-24).astype(jnp.bfloat16)
         dw = jax.grad(
-            lambda w: (conv(x_, w).astype(jnp.float32)
+            lambda w: (conv(x_ + pert, w).astype(jnp.float32)
                        * g_.astype(jnp.float32)).sum()
         )(w)
         return (x_, g_, (w + dw * 1e-12).astype(jnp.bfloat16))
 
     def pallas_step(s):
         x_, g_, w = s
-        pert = (w[0, 0, 0, 0] * 0).astype(jnp.bfloat16)
+        # *0 was constant-foldable; a 1e-24-scaled value is not, and still
+        # rounds away in bf16
+        pert = (w[0, 0, 0, 0].astype(jnp.float32) * 1e-24).astype(jnp.bfloat16)
         dw = conv3x3_dw(x_ + pert, g_)
         return (x_, g_, (w + dw * 1e-12).astype(jnp.bfloat16))
 

@@ -112,8 +112,14 @@ def conv_dw_case(B, H, Ci, Co, k=3):
 
         def step(s):
             x_, g_, w = s
+            # w-derived, value-neutral input pert: the loss is linear in w,
+            # so dw never reads w and the conv would otherwise be
+            # loop-invariant (hoistable) — see diag_dw._pert
+            pert = (
+                w.reshape(-1)[0].astype(jnp.float32) * 1e-24
+            ).astype(jnp.bfloat16)
             dw = jax.grad(
-                lambda w: (conv(x_, w).astype(jnp.float32)
+                lambda w: (conv(x_ + pert, w).astype(jnp.float32)
                            * g_.astype(jnp.float32)).sum()
             )(w)
             return (x_, g_, (w + dw * 1e-12).astype(jnp.bfloat16))

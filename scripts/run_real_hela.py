@@ -59,8 +59,11 @@ def main():
     silver = np.load(VENDORED / "hela_panel_silver_gt.npy")
 
     # two containers (different sample extents); training concatenates them
+    # — guard each separately (a deleted large.zarr with a surviving
+    # panel.zarr would otherwise never be regenerated)
     if not (work / "panel.zarr" / "train").exists():
         write_container(work / "panel.zarr", panel[None, None].astype(np.float32))
+    if not (work / "large.zarr" / "train").exists():
         write_container(work / "large.zarr", large[None, None].astype(np.float32))
 
     # nuclei here are ~23 px across (silver-truth median area 417 px)

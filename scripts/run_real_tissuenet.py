@@ -127,23 +127,43 @@ def main():
     if args.normalize_per_panel:
         p = np.percentile(raw, 99.5, axis=(-2, -1), keepdims=True)
         raw = np.clip(raw / np.maximum(p, 1e-3), 0.0, 1.0)
+    from real_data_common import derive_object_size, gt_upsample
+
     raw_up = upsample_bilinear(raw.astype(np.float32), k)
-    gt_up = np.repeat(np.repeat(gt, k, axis=-2), k, axis=-1)
+    gt_up = gt_upsample(gt, k)
 
     # object size from the recovered GT's median instance area (upsampled)
-    areas = np.concatenate(
-        [np.bincount(g.ravel().astype(np.int64))[1:] for g in gt]
-    )
-    areas = areas[areas > 0] * k * k
-    object_size = int(round(2.0 * np.sqrt(np.median(areas) / np.pi)))
-    print(f"{args.tissue}: median instance area {np.median(areas):.0f} px^2 "
-          f"(at {k}x) -> object_size {object_size}")
+    object_size = derive_object_size(gt, k)
+    print(f"{args.tissue}: object_size {object_size} (at {k}x, from the "
+          "median GT instance area)")
 
-    if not (work / "data.zarr" / "train").exists():
-        f = zarr.open(work / "data.zarr", "a")
+    # regenerate data.zarr when the flags that shape its pixels change —
+    # reusing a container built under different --scale/--tissue/
+    # --normalize-per-panel would silently train and score on stale data
+    # while results.json records the new flags
+    data_stamp = {
+        "tissue": args.tissue,
+        "scale": k,
+        "normalize_per_panel": bool(args.normalize_per_panel),
+    }
+    f = zarr.open(work / "data.zarr", "a")
+    existing = (
+        f["train"].attrs.get("source_stamp")
+        if (work / "data.zarr" / "train").exists()
+        else None
+    )
+    if existing != data_stamp:
+        if existing is not None:
+            print(f"data.zarr stamp {existing} != {data_stamp}; regenerating")
+            shutil.rmtree(work / "data.zarr")
+            f = zarr.open(work / "data.zarr", "a")
         f["train"] = raw_up
         f["train"].attrs.update(
-            {"axis_names": ["s", "c", "y", "x"], "resolution": [1, 1]}
+            {
+                "axis_names": ["s", "c", "y", "x"],
+                "resolution": [1, 1],
+                "source_stamp": data_stamp,
+            }
         )
 
     config = ExperimentConfig(
@@ -213,7 +233,10 @@ def main():
 
     if not args.skip_train:
         if args.resume:
-            ckpts = sorted((work / "models").glob("0*.ckpt"))
+            ckpts = sorted(
+                (work / "models").glob("[0-9]" * 6 + "*.ckpt"),
+                key=lambda p: int(p.stem),
+            )
             if ckpts:
                 config.model_config.checkpoint = ckpts[-1]
                 print(f"resuming from {ckpts[-1]}")

@@ -91,18 +91,17 @@ def main() -> None:
         if args.tissue == "all"
         else (args.tissue,)
     )
+    from real_data_common import derive_object_size, gt_upsample
+
     gt = np.concatenate([np.load(vendored / f"{t}_gt.npy") for t in tissues])
     k = args.scale
-    gt_up = np.repeat(np.repeat(gt, k, axis=-2), k, axis=-1)
+    gt_up = gt_upsample(gt, k)
 
-    if args.object_size is None:
-        areas = np.concatenate(
-            [np.bincount(g.ravel().astype(np.int64))[1:] for g in gt]
-        )
-        areas = areas[areas > 0] * k * k
-        object_size = int(round(2.0 * np.sqrt(np.median(areas) / np.pi)))
-    else:
-        object_size = args.object_size
+    object_size = (
+        derive_object_size(gt, k)
+        if args.object_size is None
+        else args.object_size
+    )
     base_bw = 0.5 * object_size
     base_min_size = int(0.1 * np.pi * object_size**2 / 4)
 
