@@ -21,16 +21,29 @@ while true; do
   sleep 300
 done
 log "device healthy"
+# tell any CPU-fallback queue (scripts/cpu_queue.sh) to stand down
+touch /tmp/tpu_queue_active
 
-# gracefully stop an in-flight CPU skin training (it checkpoints at the
-# sentinel and exits; the TPU run below resumes from that checkpoint)
-if [ -n "$SKIN_PID" ] && [ -d "/proc/$SKIN_PID" ] \
-   && grep -q run_real_tissuenet "/proc/$SKIN_PID/cmdline" 2>/dev/null; then
-  log "stopping CPU skin run ($SKIN_PID) via STOP sentinel"
-  touch "$RD/tissuenet_skin_s3/STOP"
-  while [ -d "/proc/$SKIN_PID" ]; do sleep 10; done
-  rm -f "$RD/tissuenet_skin_s3/STOP"
-  log "CPU skin run exited"
+# gracefully stop ANY in-flight CPU tissuenet training (it checkpoints at
+# the sentinel and exits; the TPU runs below resume from that checkpoint).
+# Scan /proc to WAIT (never kill — NOTES.md wedge rules don't apply to CPU
+# jobs, but the sentinel path loses no work either way).
+cpu_runs_active() {
+  for c in /proc/[0-9]*/cmdline; do
+    if grep -q run_real_tissuenet "$c" 2>/dev/null; then return 0; fi
+  done
+  return 1
+}
+if cpu_runs_active; then
+  log "stopping in-flight CPU tissuenet runs via STOP sentinels"
+  for w in "$RD"/tissuenet_*_s3 "$RD"/tissuenet_*_s3b; do
+    [ -d "$w" ] && touch "$w/STOP"
+  done
+  while cpu_runs_active; do sleep 10; done
+  for w in "$RD"/tissuenet_*_s3 "$RD"/tissuenet_*_s3b; do
+    rm -f "$w/STOP"
+  done
+  log "CPU runs exited"
 fi
 
 run() { log "RUN $*"; "$@"; log "DONE (exit $?) $*"; }
