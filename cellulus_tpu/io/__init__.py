@@ -1,6 +1,6 @@
-"""Host-side I/O: zarr container store and dataset metadata."""
+"""Host-side I/O: zarr container store, chunk codecs, dataset metadata."""
 
-from . import zarr
+from . import codecs, zarr
 from .meta_data import DatasetMetaData
 
-__all__ = ["zarr", "DatasetMetaData"]
+__all__ = ["codecs", "zarr", "DatasetMetaData"]

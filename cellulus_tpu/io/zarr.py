@@ -8,26 +8,29 @@ spec that the pipeline needs, with no third-party dependencies:
 - directory stores with nested groups (``.zgroup``) and arrays (``.zarray``),
 - JSON attributes (``.zattrs``) with write-through persistence,
 - C-order chunks stored as ``<i>.<j>.<k>`` files,
-- ``null`` (raw), ``zlib`` and ``gzip`` compressors (readable by zarr-python),
+- ``null`` (raw), ``zlib``, ``gzip``, ``blosc`` (via the system libblosc —
+  zarr-python's default codec), ``lz4`` and ``zstd`` compressors
+  (see :mod:`.codecs`),
 - basic indexing: integers, slices, ellipsis and full-array read/write.
 
 Arrays written here open unchanged with zarr-python (v2 format), and
-containers written by zarr-python open here as long as they use one of the
-supported compressors.
+containers written by zarr-python — including ones produced with its
+default ``Blosc(cname="lz4")`` compressor, as the reference's data-prep
+scripts do (reference ``docs/examples/2d/01-data.py:47-56``) — open here.
 """
 
 from __future__ import annotations
 
-import gzip as _gzip
 import json
 import os
 import threading
-import zlib as _zlib
 from collections import OrderedDict
 from pathlib import Path
 from typing import Any, Dict, Iterator, Optional, Sequence, Tuple, Union
 
 import numpy as np
+
+from . import codecs as _codecs
 
 
 class CorruptChunkError(RuntimeError):
@@ -151,27 +154,8 @@ class Attributes:
         return self._load().items()
 
 
-def _compress(buf: bytes, compressor: Optional[dict]) -> bytes:
-    if compressor is None:
-        return buf
-    cid = compressor.get("id")
-    level = int(compressor.get("level", 1))
-    if cid == "zlib":
-        return _zlib.compress(buf, level)
-    if cid == "gzip":
-        return _gzip.compress(buf, compresslevel=level)
-    raise ValueError(f"unsupported compressor: {cid}")
-
-
-def _decompress(buf: bytes, compressor: Optional[dict]) -> bytes:
-    if compressor is None:
-        return buf
-    cid = compressor.get("id")
-    if cid == "zlib":
-        return _zlib.decompress(buf)
-    if cid == "gzip":
-        return _gzip.decompress(buf)
-    raise ValueError(f"unsupported compressor: {cid}")
+_compress = _codecs.compress
+_decompress = _codecs.decompress
 
 
 def _default_chunks(shape: Tuple[int, ...], dtype: np.dtype) -> Tuple[int, ...]:
@@ -248,7 +232,10 @@ class Array:
         if chunks is None:
             chunks = _default_chunks(shape, dtype)
         if compressor == "default":
-            compressor = {"id": "zlib", "level": 1}
+            # zarr-python's own default (blosc lz4) when libblosc is
+            # loadable — ~10x faster than zlib on the 1-core host — else
+            # stdlib zlib; both open unchanged in zarr-python
+            compressor = _codecs.default_compressor()
         meta = {
             "zarr_format": 2,
             "shape": list(shape),
@@ -280,7 +267,11 @@ class Array:
             chunk = np.full(self.chunks, self.fill_value, dtype=self.dtype)
         else:
             try:
-                raw = _decompress(p.read_bytes(), self.compressor)
+                raw = _decompress(
+                    p.read_bytes(),
+                    self.compressor,
+                    expected_nbytes=int(np.prod(self.chunks)) * self.dtype.itemsize,
+                )
                 chunk = np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks)
             except Exception as e:
                 raise CorruptChunkError(
@@ -293,7 +284,11 @@ class Array:
         return chunk
 
     def _write_chunk(self, cidx: Tuple[int, ...], data: np.ndarray) -> None:
-        buf = _compress(np.ascontiguousarray(data, dtype=self.dtype).tobytes(), self.compressor)
+        buf = _compress(
+            np.ascontiguousarray(data, dtype=self.dtype).tobytes(),
+            self.compressor,
+            itemsize=self.dtype.itemsize,
+        )
         p = self._chunk_path(cidx)
         tmp = p.with_name(
             p.name + f".tmp{os.getpid()}.{threading.get_ident()}.{next(_TMP_COUNTER)}"
