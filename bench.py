@@ -49,41 +49,60 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def probe_device(timeout_s: float) -> bool:
+def probe_device(timeout_s: float):
     """Check that the default JAX backend can initialize, in a SUBPROCESS.
 
     A killed device-holding process can leave the remote axon session
     claimed, after which every new process hangs forever inside backend
     init (no error, no logs). Probing in a child keeps this process
     healthy so it can emit an honest error record instead of hanging the
-    caller (the round driver runs bench unattended)."""
-    import subprocess
+    caller (the round driver runs bench unattended).
 
-    try:
-        r = subprocess.run(
+    Returns ``(ok, reason)``; a fast non-zero exit (ImportError, bad env)
+    is reported with its stderr tail, distinct from a hang. On timeout the
+    child is ABANDONED, never killed — killing a process mid-device-init
+    is exactly what wedges the remote session (NOTES.md)."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryFile() as err:
+        proc = subprocess.Popen(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            capture_output=True,
+            stdout=subprocess.DEVNULL,
+            stderr=err,
         )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+        try:
+            rc = proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            return False, (
+                f"device init still hanging after {timeout_s:.0f}s "
+                "(axon wedge? see NOTES.md); probe child left to finish "
+                "on its own"
+            )
+        if rc == 0:
+            return True, ""
+        err.seek(0)
+        tail = err.read()[-2000:].decode(errors="replace").strip()
+        return False, (
+            f"device probe exited rc={rc} (NOT a wedge — the child failed "
+            f"fast); stderr tail: {tail[-400:]}"
+        )
 
 
 def main():
     probe_timeout = float(os.environ.get("BENCH_DEVICE_PROBE_TIMEOUT", "300"))
-    if not probe_device(probe_timeout):
+    ok, reason = probe_device(probe_timeout)
+    if not ok:
         log(
-            f"device backend failed to initialize within {probe_timeout:.0f}s "
-            "(wedged remote session?) — emitting an error record instead of "
-            "hanging"
+            "device backend failed to initialize — emitting an error record "
+            f"instead of hanging: {reason}"
         )
         print(json.dumps({
             "metric": "2d_infer_tiles_per_sec_e2e",  # same series as success
             "value": 0.0,
             "unit": "tiles/s",
             "vs_baseline": 0.0,
-            "error": "device init timed out; see NOTES.md (axon wedge)",
+            "error": reason,
         }))
         return
 

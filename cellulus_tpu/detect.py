@@ -48,20 +48,19 @@ def _prep_kernel(spatial: tuple, D: int, use_quantile: bool = False):
     @jax.jit
     def run(emb, fixed_threshold, quantile_pct):
         # emb: (D+1, *spatial) f32; fixed_threshold: scalar (nan = use Otsu);
-        # quantile_pct: scalar percentile in (0, 100) (nan = disabled) —
-        # wins over Otsu, loses to an explicit fixed threshold (the config
-        # rejects setting both). ``use_quantile`` is a trace-time flag:
-        # jnp.where evaluates both branches, so the quantile's full device
-        # sort must stay out of the common (disabled) program entirely.
+        # quantile_pct: scalar percentile in (0, 100). ``use_quantile`` is a
+        # trace-time flag (the config rejects threshold+quantile together):
+        # it keeps the quantile's full device sort out of the disabled
+        # program and the Otsu histogram out of the quantile program.
         std = emb[-1]
-        thr = jnp.where(
-            jnp.isnan(fixed_threshold), threshold_otsu_jax(std), fixed_threshold
-        )
         if use_quantile:
+            # the config rejects threshold+threshold_quantile together, so
+            # fixed_threshold is always NaN here — computing the Otsu
+            # histogram too would be pure dead device work per sample
+            thr = jnp.quantile(std, quantile_pct / 100.0)
+        else:
             thr = jnp.where(
-                jnp.isnan(quantile_pct) | ~jnp.isnan(fixed_threshold),
-                thr,
-                jnp.quantile(std, quantile_pct / 100.0),
+                jnp.isnan(fixed_threshold), threshold_otsu_jax(std), fixed_threshold
             )
         mask = std < thr
         absolute = emb[:D]

@@ -257,16 +257,22 @@ def lz4_compress(buf: bytes, acceleration: int = 1) -> bytes:
     return struct.pack("<I", len(buf)) + dest.raw[:n]
 
 
-def lz4_decompress(buf: bytes) -> bytes:
+def lz4_decompress(buf: bytes, expected_nbytes: Optional[int] = None) -> bytes:
     lib = _get_lz4()
     if lib is None:
         raise ValueError("chunk is lz4-compressed but liblz4 is unavailable")
     if len(buf) < 4:
         raise ValueError("truncated lz4 chunk")
     (nbytes,) = struct.unpack("<I", buf[:4])
-    dest = ctypes.create_string_buffer(nbytes) if nbytes else b""
+    # the size header is untrusted file content: validate BEFORE allocating
+    # (a corrupt header claiming 4 GiB would otherwise OOM the host)
+    if expected_nbytes is not None and nbytes != expected_nbytes:
+        raise ValueError(
+            f"lz4 chunk header says {nbytes} bytes, expected {expected_nbytes}"
+        )
     if nbytes == 0:
         return b""
+    dest = ctypes.create_string_buffer(nbytes)
     n = lib.LZ4_decompress_safe(buf[4:], dest, len(buf) - 4, nbytes)
     if n < 0 or n != nbytes:
         raise ValueError(f"lz4 decompression failed (rc={n})")
@@ -275,31 +281,108 @@ def lz4_decompress(buf: bytes) -> bytes:
 
 # -- zstd ---------------------------------------------------------------------
 
+_zstd = None
+_zstd_tried = False
+
+
+def _get_zstd():
+    """ctypes libzstd fallback for hosts without the zstandard package."""
+    global _zstd, _zstd_tried
+    with _load_lock:
+        if _zstd_tried:
+            return _zstd
+        _zstd_tried = True
+        lib = _find_library("libzstd.so.1", "libzstd.so", "libzstd.dylib")
+        if lib is None:
+            return None
+        try:
+            lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+            lib.ZSTD_compress.restype = ctypes.c_size_t
+            lib.ZSTD_compress.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+            ]
+            lib.ZSTD_decompress.restype = ctypes.c_size_t
+            lib.ZSTD_decompress.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t,
+            ]
+            lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+            lib.ZSTD_getFrameContentSize.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,
+            ]
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        except AttributeError:
+            return None
+        _zstd = lib
+        return _zstd
+
 
 def zstd_compress(buf: bytes, level: int = 1) -> bytes:
     try:
         import zstandard
-
-        return zstandard.ZstdCompressor(level=int(level)).compress(buf)
     except ImportError:
+        pass
+    else:
+        return zstandard.ZstdCompressor(level=int(level)).compress(buf)
+    lib = _get_zstd()
+    if lib is None:
         raise ValueError(
-            "zstd compression requested but the zstandard package is "
-            "unavailable"
-        ) from None
+            "zstd compression requested but neither the zstandard package "
+            "nor libzstd is available"
+        )
+    bound = lib.ZSTD_compressBound(len(buf))
+    dest = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress(dest, bound, buf, len(buf), int(level))
+    if lib.ZSTD_isError(n):
+        raise ValueError(f"zstd compression failed (rc={n})")
+    return dest.raw[:n]
+
+
+# ZSTD_getFrameContentSize sentinels (zstd.h)
+_ZSTD_CONTENTSIZE_UNKNOWN = 2**64 - 1
+_ZSTD_CONTENTSIZE_ERROR = 2**64 - 2
 
 
 def zstd_decompress(buf: bytes, expected_nbytes: Optional[int] = None) -> bytes:
     try:
         import zstandard
-
+    except ImportError:
+        pass
+    else:
         return zstandard.ZstdDecompressor().decompress(
             buf, max_output_size=expected_nbytes or 0
         )
-    except ImportError:
+    lib = _get_zstd()
+    if lib is None:
         raise ValueError(
-            "chunk is zstd-compressed but the zstandard package is "
-            "unavailable"
-        ) from None
+            "chunk is zstd-compressed but neither the zstandard package "
+            "nor libzstd is available"
+        )
+    size = lib.ZSTD_getFrameContentSize(buf, len(buf))
+    if size == _ZSTD_CONTENTSIZE_ERROR:
+        raise ValueError("invalid zstd frame")
+    if size == _ZSTD_CONTENTSIZE_UNKNOWN:
+        if expected_nbytes is None:
+            raise ValueError(
+                "zstd frame lacks a content-size header and no expected "
+                "size is known"
+            )
+        size = expected_nbytes
+    # the frame header is untrusted file content: validate before allocating
+    if expected_nbytes is not None and size != expected_nbytes:
+        raise ValueError(
+            f"zstd frame decodes to {size} bytes, expected {expected_nbytes}"
+        )
+    if size == 0:
+        return b""
+    dest = ctypes.create_string_buffer(int(size))
+    n = lib.ZSTD_decompress(dest, int(size), buf, len(buf))
+    if lib.ZSTD_isError(n) or n != size:
+        raise ValueError(f"zstd decompression failed (rc={n})")
+    return dest.raw
 
 
 # -- dispatch -----------------------------------------------------------------
@@ -350,7 +433,7 @@ def decompress(
     if cid == "blosc":
         return blosc_decompress(buf, expected_nbytes=expected_nbytes)
     if cid == "lz4":
-        return lz4_decompress(buf)
+        return lz4_decompress(buf, expected_nbytes=expected_nbytes)
     if cid == "zstd":
         return zstd_decompress(buf, expected_nbytes=expected_nbytes)
     raise ValueError(f"unsupported compressor: {cid}")

@@ -50,7 +50,9 @@ def main():
     from cellulus_tpu.configs import ExperimentConfig
     from cellulus_tpu.io import zarr
 
-    work = Path(args.workdir or (REPO / "examples" / "real-data" / "hela_run"))
+    work = Path(
+        args.workdir or (REPO / "examples" / "real-data" / "hela_run")
+    ).resolve()  # resolve BEFORE chdir: relative --workdir must not re-resolve later
     work.mkdir(parents=True, exist_ok=True)
     os.chdir(work)
 

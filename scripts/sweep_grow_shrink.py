@@ -51,7 +51,8 @@ def main() -> None:
     from cellulus_tpu.evaluate import evaluate
     from cellulus_tpu.segment import segment
 
-    work = Path(args.workdir)
+    # resolve BEFORE chdir: a relative --workdir must not re-resolve later
+    work = Path(args.workdir).resolve()
     os.chdir(work)  # evaluate writes results_bandwidth-*.txt in cwd
     object_size = int(args.size * 0.13)
 

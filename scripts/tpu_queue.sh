@@ -13,13 +13,32 @@ SKIN_PID="${SKIN_PID:-}"   # optional: PID of a CPU skin run to stop first
 
 log() { echo "[$(date +%H:%M:%S)] $*"; }
 
-log "watcher: waiting for device init to succeed (probe every 5 min)"
+log "watcher: waiting for device init to succeed (probe every ~5 min)"
+# The probe child is NEVER killed: `timeout` here would SIGKILL a process
+# that may hold a freshly-claimed device session mid-init — exactly the
+# action that wedges the session (NOTES.md). Instead: spawn one probe,
+# wait bounded for a success sentinel, and if it is still hanging past the
+# bound, block until it exits ON ITS OWN (a reset remote session makes the
+# client error out; a true wedge means waiting costs nothing anyway).
+PROBE_OK="/tmp/tpu_probe_ok.$$"
 while true; do
-  if timeout 240 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
-    break
+  rm -f "$PROBE_OK"
+  ( python -c "import jax; jax.devices()" >/dev/null 2>&1 \
+      && touch "$PROBE_OK" ) &
+  probe=$!
+  waited=0
+  while kill -0 "$probe" 2>/dev/null && [ "$waited" -lt 600 ]; do
+    sleep 10; waited=$((waited + 10))
+  done
+  if kill -0 "$probe" 2>/dev/null; then
+    log "probe still initializing after ${waited}s; waiting for it to exit on its own (never killed)"
+    wait "$probe" || true
   fi
+  [ -f "$PROBE_OK" ] && break
+  log "probe failed; retrying in 5 min"
   sleep 300
 done
+rm -f "$PROBE_OK"
 log "device healthy"
 # tell any CPU-fallback queue (scripts/cpu_queue.sh) to stand down
 touch /tmp/tpu_queue_active

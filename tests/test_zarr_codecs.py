@@ -72,6 +72,41 @@ def test_lz4_and_zstd_numcodecs_formats():
     assert codecs.zstd_decompress(enc, expected_nbytes=len(raw)) == raw
 
 
+def test_zstd_libzstd_fallback(monkeypatch):
+    # simulate a host without the zstandard package: the ctypes libzstd
+    # binding must still roundtrip (and interoperate with package-written
+    # frames in both directions)
+    import sys
+
+    raw = _payloads()[0].tobytes()
+    try:
+        import zstandard  # noqa: F401
+
+        pkg_frame = codecs.zstd_compress(raw, level=3)
+    except ImportError:
+        pkg_frame = None
+    monkeypatch.setitem(sys.modules, "zstandard", None)  # import -> ImportError
+    if codecs._get_zstd() is None:
+        pytest.skip("no system libzstd")
+    enc = codecs.zstd_compress(raw, level=3)
+    assert codecs.zstd_decompress(enc, expected_nbytes=len(raw)) == raw
+    if pkg_frame is not None:
+        assert codecs.zstd_decompress(pkg_frame, expected_nbytes=len(raw)) == raw
+    monkeypatch.undo()
+    if pkg_frame is not None:
+        import zstandard
+
+        assert zstandard.ZstdDecompressor().decompress(enc) == raw
+
+
+def test_lz4_rejects_oversized_header():
+    raw = _payloads()[0].tobytes()
+    enc = codecs.lz4_compress(raw)
+    bogus = (2**31).to_bytes(4, "little") + enc[4:]
+    with pytest.raises(ValueError):
+        codecs.lz4_decompress(bogus, expected_nbytes=len(raw))
+
+
 def test_array_roundtrip_every_codec(tmp_path):
     data = _payloads()[0]
     configs = [
