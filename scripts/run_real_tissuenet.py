@@ -86,6 +86,16 @@ def main():
                          "via the STOP sentinel or interrupted)")
     ap.add_argument("--skip-infer", action="store_true",
                     help="train only (score later with --skip-train)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="score THIS checkpoint instead of best_loss.ckpt "
+                         "(path relative to the workdir; use with "
+                         "--skip-train and --results-tag for a "
+                         "checkpoint-vs-F1 curve)")
+    ap.add_argument("--results-tag", default=None,
+                    help="write results_<tag>.json and a throwaway "
+                         "out_<tag>.zarr instead of clobbering the "
+                         "canonical results.json/out.zarr (overlay "
+                         "preview is skipped)")
     ap.add_argument("--normalize-per-panel", action="store_true",
                     help="stretch each panel/channel so its 99.5th "
                          "percentile maps to 1.0 — the recovered figure "
@@ -109,6 +119,7 @@ def main():
     ).resolve()  # resolve BEFORE chdir: relative --workdir must not re-resolve later
     work.mkdir(parents=True, exist_ok=True)
     os.chdir(work)
+    out_name = f"out_{args.results_tag}.zarr" if args.results_tag else "out.zarr"
 
     tissues = (
         ("immune", "skin", "lung", "pancreas")
@@ -209,21 +220,21 @@ def main():
                     "dataset_name": "train",
                 },
                 "prediction_dataset_config": {
-                    "container_path": str(work / "out.zarr"),
+                    "container_path": str(work / out_name),
                     "dataset_name": "embeddings",
                 },
                 "detection_dataset_config": {
-                    "container_path": str(work / "out.zarr"),
+                    "container_path": str(work / out_name),
                     "dataset_name": "detection",
                     "secondary_dataset_name": "embeddings",
                 },
                 "segmentation_dataset_config": {
-                    "container_path": str(work / "out.zarr"),
+                    "container_path": str(work / out_name),
                     "dataset_name": "segmentation",
                     "secondary_dataset_name": "detection",
                 },
                 "evaluation_dataset_config": {
-                    "container_path": str(work / "out.zarr"),
+                    "container_path": str(work / out_name),
                     "dataset_name": "groundtruth",
                     "secondary_dataset_name": "segmentation",
                 },
@@ -246,20 +257,25 @@ def main():
     if args.skip_infer:
         return
 
-    if (work / "out.zarr").exists():
-        shutil.rmtree(work / "out.zarr")
-    out = zarr.open(work / "out.zarr", "a")
+    if (work / out_name).exists():
+        shutil.rmtree(work / out_name)
+    out = zarr.open(work / out_name, "a")
     out["groundtruth"] = gt_up[:, None].astype(np.uint16)
     out["groundtruth"].attrs.update(
         {"axis_names": ["s", "c", "y", "x"], "resolution": [1, 1]}
     )
 
-    config.model_config.checkpoint = work / "models" / "best_loss.ckpt"
+    ckpt = (
+        (work / args.checkpoint)
+        if args.checkpoint
+        else work / "models" / "best_loss.ckpt"
+    )
+    config.model_config.checkpoint = ckpt
     results = cellulus_tpu.infer(config)
 
     # per-panel scores at the best aggregate-F1 bandwidth
     best_bw = max(sorted(results), key=lambda i: results[i]["F1"])
-    seg = np.asarray(zarr.open(work / "out.zarr", "r")["segmentation"])
+    seg = np.asarray(zarr.open(work / out_name, "r")["segmentation"])
     rows = []
     for s in range(seg.shape[0]):
         res = compute_pairwise_IoU(seg[s, best_bw], gt_up[s])
@@ -272,7 +288,6 @@ def main():
              "SEG": round(seg_sum / max(n_gt, 1), 3),
              "paper_F1": paper_f1[s], "n_gt": n_gt}
         )
-    ckpt = work / "models" / "best_loss.ckpt"
     summary = {
         "tissue": args.tissue,
         "iters": args.iters,
@@ -297,7 +312,17 @@ def main():
     }
     print("RESULTS vs recovered real GT:")
     print(json.dumps(summary, indent=2))
-    (work / "results.json").write_text(json.dumps(summary, indent=2))
+    results_name = (
+        f"results_{args.results_tag}.json" if args.results_tag else "results.json"
+    )
+    (work / results_name).write_text(json.dumps(summary, indent=2))
+
+    if args.results_tag:
+        # tagged runs are throwaway probes (checkpoint-vs-F1 curves): keep
+        # only the scores, not ~35 MB of embeddings per tag, and leave the
+        # canonical out.zarr/overlay untouched
+        shutil.rmtree(work / out_name, ignore_errors=True)
+        return summary
 
     # overlay previews for visual audit (panel 2 = 50th percentile)
     from PIL import Image
