@@ -96,6 +96,10 @@ def main():
                          "out_<tag>.zarr instead of clobbering the "
                          "canonical results.json/out.zarr (overlay "
                          "preview is skipped)")
+    ap.add_argument("--save-every", type=int, default=None,
+                    help="numbered-checkpoint cadence (default "
+                         "max(1000, iters//2)); 1000 gives the "
+                         "checkpoint-vs-F1 curve its x-axis")
     ap.add_argument("--normalize-per-panel", action="store_true",
                     help="stretch each panel/channel so its 99.5th "
                          "percentile maps to 1.0 — the recovered figure "
@@ -196,7 +200,11 @@ def main():
                 **({"elastic_on_device": True, "steps_per_dispatch": 4}
                    if args.fast else {}),
                 "precision": "bfloat16",
-                "save_model_every": max(1000, args.iters // 2),
+                "save_model_every": (
+                    args.save_every
+                    if args.save_every
+                    else max(1000, args.iters // 2)
+                ),
                 "save_snapshot_every": 10**9,
                 "save_best_model_every": 100,
                 **({"lr_milestones": args.lr_milestones}

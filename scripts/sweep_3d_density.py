@@ -140,6 +140,19 @@ def main():
     densities = [float(d) for d in args.densities.split(",")]
     lrs = [float(x) for x in args.lrs.split(",")]
 
+    # idempotency: a (density, lr, iters) cell already recorded with a
+    # numeric F1 is skipped, so a reboot-interrupted sweep re-run only pays
+    # for the missing cells (error rows are retried)
+    done = set()
+    if OUT_CSV.exists():
+        for row in csv.reader(OUT_CSV.open()):
+            if len(row) >= 4 and row[0] != "density":
+                try:
+                    float(row[3])
+                except ValueError:
+                    continue
+                done.add((float(row[0]), float(row[1]), int(row[2])))
+
     new_file = not OUT_CSV.exists()
     with open(OUT_CSV, "a", newline="") as fh:
         w = csv.writer(fh)
@@ -147,6 +160,10 @@ def main():
             w.writerow(["density", "lr", "iters", "F1", "SEG", "seconds"])
         for lr in lrs:
             for d in densities:
+                if (d, lr, args.iters) in done:
+                    print(f"density={d} lr={lr} iters={args.iters}: "
+                          "already recorded, skipping", flush=True)
+                    continue
                 t0 = time.time()
                 work = tempfile.mkdtemp(prefix=f"sweep3d_d{d}_lr{lr}_")
                 try:

@@ -39,6 +39,19 @@ def main():
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse workdir/models/best_loss.ckpt; run infer only")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--precision", default="bfloat16",
+                    choices=("bfloat16", "float32"),
+                    help="training compute dtype (A/B the bf16 lever the "
+                         "roofline analysis points at, docs/tpu_design.md)")
+    ap.add_argument("--results-json", default=None,
+                    help="append {args, F1, SEG, train_secs} as one JSON "
+                         "line to this file (study bookkeeping)")
+    ap.add_argument("--fast", action="store_true",
+                    help="TPU fast path (on-device elastic + 4 steps per "
+                         "dispatch + device pair sampling): keeps the train "
+                         "wall time device-dominated so precision A/Bs "
+                         "measure compute, not the 1-core host's elastic "
+                         "workers")
     args = ap.parse_args()
     if args.size is None:
         args.size = 512 if args.ndim == 2 else 128
@@ -48,7 +61,10 @@ def main():
     from cellulus_tpu.io import zarr
     from synthetic import make_blob_container
 
-    work = Path(args.workdir or tempfile.mkdtemp(prefix="cellulus_val_"))
+    # resolve BEFORE chdir: relative paths must not re-resolve later
+    work = Path(args.workdir or tempfile.mkdtemp(prefix="cellulus_val_")).resolve()
+    if args.results_json:
+        args.results_json = str(Path(args.results_json).resolve())
     work.mkdir(parents=True, exist_ok=True)
     os.chdir(work)
     container = work / "data.zarr"
@@ -102,7 +118,10 @@ def main():
                 "initial_learning_rate": args.lr,
                 "num_workers": 4,
                 "elastic_deform": True,
-                "precision": "bfloat16",
+                **({"elastic_on_device": True, "steps_per_dispatch": 4,
+                    "device_pair_sampling": args.loss_mode == "pairs"}
+                   if args.fast else {}),
+                "precision": args.precision,
                 "save_model_every": max(500, args.iters // 2),
                 "save_snapshot_every": 10**9,
                 "save_best_model_every": 100,
@@ -142,8 +161,15 @@ def main():
         }
     )
 
+    train_secs = None
     if not args.skip_train:
+        import time
+
+        t0 = time.perf_counter()
         cellulus_tpu.train(config)
+        train_secs = round(time.perf_counter() - t0, 1)
+        print(f"[perf] train wall ({args.precision}): {train_secs}s "
+              f"for {args.iters} iters")
 
     # stage ground truth next to outputs for evaluation
     import shutil
@@ -161,6 +187,21 @@ def main():
     f1 = results[0]["F1"]
     seg = results[0]["SEG"]
     print(f"F1={f1:.3f} SEG={seg:.3f} (workdir: {work})")
+    if args.results_json:
+        import json
+
+        row = {
+            "ndim": args.ndim, "iters": args.iters, "size": args.size,
+            "precision": args.precision, "loss_mode": args.loss_mode,
+            "pair_count_mode": args.pair_count_mode,
+            "density": args.density, "lr": args.lr,
+            "train_secs": train_secs,
+            "F1": round(float(f1), 3), "SEG": round(float(seg), 3),
+        }
+        path = Path(args.results_json)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with path.open("a") as fh:
+            fh.write(json.dumps(row) + "\n")
     return results
 
 
