@@ -61,6 +61,23 @@ class InferenceConfig:
             subsample) instead of serially.
         pipelined: overlap predict/detect/segment across samples (see
             cellulus_tpu.pipeline); requires all three stage configs.
+        device_detect: run the detect stage fully device-resident (Otsu +
+            mask + coordinate grid + mean-shift fit/predict on device; the
+            host receives only uint16 detections). Wins on directly
+            attached TPUs (the deployment target) where PCIe replaces this
+            build host's tunnel; measured SLOWER over the tunnel (0.65 vs
+            0.37 s/sample, NOTES.md). ``None`` defers to the
+            ``CELLULUS_TPU_DEVICE_DETECT`` env var.
+        pallas_mean_shift: use the Pallas ball-kernel mean-shift fit
+            instead of the XLA chunked-matmul fit. The matmul fit measured
+            ~2.7x faster at bench scale (87k points / 256 seeds); the
+            kernel remains for large-seed-count regimes. ``None`` defers to
+            the ``CELLULUS_TPU_PALLAS`` env var.
+        pipeline_ram_gb: host-RAM budget for pipelined inference's
+            in-flight samples (each holds its float32 embeddings + a
+            centered copy + detections). ``None`` defers to the
+            ``CELLULUS_TPU_PIPELINE_RAM_GB`` env var, then to a quarter of
+            system RAM.
     """
 
     dataset_config: Optional[DatasetConfig] = None
@@ -90,6 +107,9 @@ class InferenceConfig:
     transfer_precision: str = "float32"
     vectorized_bandwidth_sweep: bool = False
     pipelined: bool = False
+    device_detect: Optional[bool] = None
+    pallas_mean_shift: Optional[bool] = None
+    pipeline_ram_gb: Optional[float] = None
 
     def __post_init__(self) -> None:
         for name in (
@@ -120,3 +140,11 @@ class InferenceConfig:
             self.bandwidth = float(self.bandwidth)
         if self.min_size is not None:
             self.min_size = int(self.min_size)
+        if self.device_detect is not None:
+            self.device_detect = bool(self.device_detect)
+        if self.pallas_mean_shift is not None:
+            self.pallas_mean_shift = bool(self.pallas_mean_shift)
+        if self.pipeline_ram_gb is not None:
+            self.pipeline_ram_gb = float(self.pipeline_ram_gb)
+            if self.pipeline_ram_gb <= 0:
+                raise ValueError("pipeline_ram_gb must be positive")

@@ -239,15 +239,18 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _use_pallas() -> bool:
-    """Pallas fit kernel is OPT-IN (CELLULUS_TPU_PALLAS=1): on trained
-    embeddings at bench scale the XLA chunked-matmul fit measured ~2.7x
-    faster than the Pallas ball kernel (0.063s vs 0.172s per sample,
-    87k fit points / 256 seeds) — the MXU matmul path wins when S is small.
-    The kernel stays for large-S regimes and as a Pallas reference."""
+def _use_pallas(requested: Optional[bool] = None) -> bool:
+    """Pallas fit kernel is OPT-IN (``inference_config.pallas_mean_shift``
+    or, when that is None, CELLULUS_TPU_PALLAS=1): on trained embeddings at
+    bench scale the XLA chunked-matmul fit measured ~2.7x faster than the
+    Pallas ball kernel (0.063s vs 0.172s per sample, 87k fit points / 256
+    seeds) — the MXU matmul path wins when S is small. The kernel stays for
+    large-S regimes and as a Pallas reference."""
     import os
 
-    if not os.environ.get("CELLULUS_TPU_PALLAS"):
+    if requested is None:
+        requested = bool(os.environ.get("CELLULUS_TPU_PALLAS"))
+    if not requested:
         return False
     try:
         return jax.default_backend() != "cpu"
@@ -262,8 +265,12 @@ def mean_shift_fit_predict(
     reduction_probability: float = 1.0,
     max_iter: int = 300,
     rng: Optional[np.random.Generator] = None,
+    use_pallas: Optional[bool] = None,
 ) -> np.ndarray:
     """Fit on a subsample, predict labels for all rows of ``X``.
+
+    ``use_pallas``: Pallas ball-kernel fit; ``None`` defers to the
+    CELLULUS_TPU_PALLAS env var (see :func:`_use_pallas`).
 
     Returns int32 labels in ``[0, K)`` or ``-1`` for orphans.
     """
@@ -306,7 +313,7 @@ def mean_shift_fit_predict(
         max_iter=max_iter,
         chunk_fit=chunk,
         chunk_pred=chunk_p,
-        use_pallas=_use_pallas(),
+        use_pallas=_use_pallas(use_pallas),
     )
     return np.asarray(labels_u16[:n]).astype(np.int32) - 1
 
@@ -444,6 +451,7 @@ def mean_shift_segmentation(
     seeds: Optional[np.ndarray],
     max_iter: int = 300,
     rng: Optional[np.random.Generator] = None,
+    use_pallas: Optional[bool] = None,
 ) -> np.ndarray:
     """Segment one sample's embeddings into instances.
 
@@ -478,6 +486,7 @@ def mean_shift_segmentation(
         reduction_probability=reduction_probability,
         max_iter=max_iter,
         rng=rng,
+        use_pallas=use_pallas,
     )
     spatial = np.full(mask.shape, -1, np.int32)
     spatial[mask] = labels

@@ -53,8 +53,9 @@ def infer_pipelined(
     # float32 embeddings on the host, and while its worker runs detect also
     # holds the mean-centered copy (same shape/dtype) plus the per-bandwidth
     # uint16 detections. Cap the stage workers so the worst case fits the
-    # budget (default: a quarter of system RAM; override via
-    # CELLULUS_TPU_PIPELINE_RAM_GB), and bound the predict loop's run-ahead
+    # budget (inference_config.pipeline_ram_gb, else the
+    # CELLULUS_TPU_PIPELINE_RAM_GB env var, else a quarter of system RAM),
+    # and bound the predict loop's run-ahead
     # with a semaphore — a worker cap alone would still let every sample's
     # embeddings queue on the stage pool whenever detect+segment is slower
     # than predict, growing host memory with sample count.
@@ -63,7 +64,9 @@ def infer_pipelined(
     spatial_px = int(np.prod(meta.spatial_array))
     emb_bytes = (D + 1) * spatial_px * 4
     sample_bytes = 2 * emb_bytes + ic.num_bandwidths * spatial_px * 2
-    budget_gb = _os.environ.get("CELLULUS_TPU_PIPELINE_RAM_GB")
+    budget_gb = getattr(ic, "pipeline_ram_gb", None)
+    if budget_gb is None:
+        budget_gb = _os.environ.get("CELLULUS_TPU_PIPELINE_RAM_GB")
     if budget_gb is not None:
         budget = float(budget_gb) * (1 << 30)
     else:
@@ -82,7 +85,8 @@ def infer_pipelined(
             f"in-flight sample (embeddings + detect's centered copy + "
             f"detections); capping stage workers "
             f"{num_stage_workers} -> {max_workers} to fit the host RAM "
-            "budget (override with CELLULUS_TPU_PIPELINE_RAM_GB)",
+            "budget (raise inference_config.pipeline_ram_gb or the "
+            "CELLULUS_TPU_PIPELINE_RAM_GB env var to override)",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -246,9 +250,9 @@ def infer_pipelined(
             # assemble a device-resident copy only when the device detect
             # path will consume it (otherwise the per-tile updates are
             # pure dispatch overhead)
-            import os
+            from .detect import want_device_detect
 
-            want_device = bool(os.environ.get("CELLULUS_TPU_DEVICE_DETECT"))
+            want_device = want_device_detect(ic)
             out = predict_sample(
                 spec,
                 params,

@@ -100,3 +100,18 @@ def test_pipelined_ram_gate(blob_container_2d, tmp_path, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(a["segmentation"][...]), np.asarray(b["segmentation"][...])
     )
+
+    # the TOML-settable pipeline_ram_gb field takes precedence over the env
+    # var (here: a generous env budget, a tiny config budget -> still caps)
+    monkeypatch.setenv("CELLULUS_TPU_PIPELINE_RAM_GB", "64")
+    config3 = _config(blob_container_2d, tmp_path / "c.zarr", True)
+    config3.inference_config.pipeline_ram_gb = 0.0005
+    config3.model_config.checkpoint = tmp_path / "models" / "best_loss.ckpt"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cellulus_tpu.infer(config3)
+    assert any("capping stage workers" in str(x.message) for x in w)
+    c = zarr.open(tmp_path / "c.zarr", "r")
+    np.testing.assert_array_equal(
+        np.asarray(a["segmentation"][...]), np.asarray(c["segmentation"][...])
+    )
