@@ -54,6 +54,7 @@ def torch_state_dict_to_params(sd: Dict[str, Any]) -> Dict[str, Any]:
     down: Dict[int, Dict[int, dict]] = {}
     up: Dict[int, Dict[int, dict]] = {}
     head: Dict[int, dict] = {}
+    unrecognized = []
     for key, value in sd.items():
         m = down_pat.fullmatch(key)
         if m:
@@ -77,6 +78,18 @@ def torch_state_dict_to_params(sd: Dict[str, Any]) -> Dict[str, Any]:
             idx, kind = int(m.group(1)), m.group(2)
             head.setdefault(idx, {})[kind] = _w(value)
             continue
+        unrecognized.append(key)
+    if unrecognized:
+        # e.g. funlib built with constant_upsample=False stores transposed
+        # conv weights under backbone.r_up.<h>.<v>.up.*; silently dropping
+        # them would "import" a model missing its upsample weights
+        raise ValueError(
+            "state_dict holds model weights the importer does not map "
+            f"(first few: {sorted(unrecognized)[:4]}); refusing a partial "
+            "import. Expected only backbone.l_conv.*/backbone.r_conv.0.*/"
+            "head.* (funlib UNet with constant_upsample=True, as the "
+            "reference constructs it — cellulus/models/unet.py:24-51)"
+        )
     if not down or not head:
         raise ValueError(
             "state_dict does not look like a reference cellulus UNetModel "

@@ -77,6 +77,92 @@ def test_torch_import_rejects_garbage():
         torch_state_dict_to_params({"some.unrelated.key": np.zeros((1,))})
 
 
+@pytest.mark.parametrize(
+    "ndim,factors,num_fmaps,inc,fil,in_ch",
+    [
+        (2, ((2, 2),), 8, 2, 16, 1),          # reference 2D demo shape
+        (2, ((2, 2), (2, 2), (2, 2)), 6, 3, 12, 1),  # >= 3 levels deep
+        (3, ((1, 2, 2), (2, 2, 2)), 4, 2, 8, 2),     # anisotropic 3D, 2ch
+        (2, ((2, 2), (2, 2)), 8, 1, 8, 1),           # degenerate inc=1
+    ],
+)
+def test_replica_state_dict_is_genuine_funlib_layout(
+    ndim, factors, num_fmaps, inc, fil, in_ch
+):
+    """The torch replica's state_dict must be EXACTLY the key->shape layout
+    a genuine funlib UNet (constant_upsample=True, as the reference builds
+    it) emits — generated independently in funlib_state_dict_spec.py from
+    the funlib module structure. This pins every replica-based parity and
+    importer test to the real checkpoint format, not to the replica's own
+    conventions."""
+    from tests.funlib_state_dict_spec import expected_funlib_keys
+
+    model = TorchOCEModel(in_ch, ndim, num_fmaps, inc, fil, list(factors), ndim)
+    got = {k: tuple(v.shape) for k, v in model.state_dict().items()}
+    want = expected_funlib_keys(
+        in_ch, ndim, num_fmaps, inc, fil, list(factors), ndim
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "ndim,factors,inc",
+    [
+        (2, ((2, 2), (2, 2), (2, 2)), 3),  # >= 3 levels, growing channels
+        (3, ((1, 2, 2), (1, 2, 2)), 2),    # anisotropic 3D
+        (2, ((2, 2), (2, 2), (2, 2)), 1),  # inc=1: positional up mapping
+    ],
+)
+def test_torch_import_adversarial_architectures(tmp_path, ndim, factors, inc):
+    """Deep / anisotropic / degenerate-channel checkpoints import exactly:
+    the re-imported params match the originals leaf-for-leaf, and the jax
+    forward matches the torch model that wrote the checkpoint."""
+    spec, params, model = _build_pair(
+        ndim=ndim, factors=factors, num_fmaps=4, inc=inc, fil=8
+    )
+    path = tmp_path / "adversarial.pth"
+    torch.save(
+        {"iteration": 1, "lowest_loss": 9.9,
+         "model_state_dict": model.state_dict()},
+        path,
+    )
+    from cellulus_tpu.utils.checkpoint import load_checkpoint
+
+    imported = load_checkpoint(path)["params"]
+    for a, b in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(imported)[0],
+    ):
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    # forward parity through the imported weights (torch wrote, jax runs);
+    # input extents must survive the valid-conv shrinkage of every level
+    if ndim == 3:
+        shape = (1, 1, 28, 76, 76)  # z sees convs only (factors are 1 in z)
+    else:
+        shape = (1, 1, 92, 92)
+    x = np.random.default_rng(1).normal(size=shape).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+    mine = forward(spec, params, jnp.asarray(np.moveaxis(x, 1, -1)))
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(mine), -1, 1), ref, atol=3e-4, rtol=1e-3
+    )
+
+
+def test_torch_import_refuses_transposed_conv_upsample():
+    """funlib with constant_upsample=False stores transposed-conv weights
+    under backbone.r_up.*; a partial import (dropping them) would be
+    silently wrong — the importer must refuse."""
+    _, _, model = _build_pair()
+    sd = dict(model.state_dict())
+    sd["backbone.r_up.0.0.up.weight"] = np.zeros((16, 8, 2, 2), np.float32)
+    sd["backbone.r_up.0.0.up.bias"] = np.zeros((8,), np.float32)
+    with pytest.raises(ValueError, match="r_up"):
+        torch_state_dict_to_params(sd)
+
+
 def test_torch_export_roundtrip(tmp_path):
     """params -> .pth -> params is exact, and the exported state_dict loads
     into the reference-shaped torch model."""
