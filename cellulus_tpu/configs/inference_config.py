@@ -68,6 +68,13 @@ class InferenceConfig:
             build host's tunnel; measured SLOWER over the tunnel (0.65 vs
             0.37 s/sample, NOTES.md). ``None`` defers to the
             ``CELLULUS_TPU_DEVICE_DETECT`` env var.
+        device_nucleus: run "nucleus" post-processing on device — ONE
+            dispatch per (sample, bandwidth) vectorizing all instances'
+            Otsu thresholds + hole fills (vs the reference's serial
+            per-instance host loop); jobs round-robin the device mesh.
+            Host-path-exact except for nested instances (see
+            ops/nucleus.py). ``None`` defers to the
+            ``CELLULUS_TPU_DEVICE_NUCLEUS`` env var.
         pallas_mean_shift: use the Pallas ball-kernel mean-shift fit
             instead of the XLA chunked-matmul fit. The matmul fit measured
             ~2.7x faster at bench scale (87k points / 256 seeds); the
@@ -108,6 +115,7 @@ class InferenceConfig:
     vectorized_bandwidth_sweep: bool = False
     pipelined: bool = False
     device_detect: Optional[bool] = None
+    device_nucleus: Optional[bool] = None
     pallas_mean_shift: Optional[bool] = None
     pipeline_ram_gb: Optional[float] = None
 
@@ -142,6 +150,8 @@ class InferenceConfig:
             self.min_size = int(self.min_size)
         if self.device_detect is not None:
             self.device_detect = bool(self.device_detect)
+        if self.device_nucleus is not None:
+            self.device_nucleus = bool(self.device_nucleus)
         if self.pallas_mean_shift is not None:
             self.pallas_mean_shift = bool(self.pallas_mean_shift)
         if self.pipeline_ram_gb is not None:

@@ -47,11 +47,15 @@ def label_host(array: np.ndarray) -> np.ndarray:
     return out
 
 
-def cc_parents(values, jump_steps: int = 1):
+def cc_parents(values, jump_steps: int = 1, full_connectivity: bool = True):
     """Traceable connected-components body: ``values (int32, *shape) ->
     parents (int32, *shape)`` where background pixels map to the sentinel
     ``N = prod(shape)`` and every foreground pixel maps to its component's
     minimum flat index. Composable inside larger jitted programs.
+
+    ``full_connectivity=False`` restricts merging to axis neighbors
+    (4-connectivity in 2D / 6 in 3D — scipy's default ``binary_fill_holes``
+    structure, used by the nucleus hole-fill kernel).
 
     Each round propagates the running minimum (a) along entire equal-value
     RUNS per axis via segmented min-scans (``lax.associative_scan``,
@@ -115,7 +119,8 @@ def cc_parents(values, jump_steps: int = 1):
     def body(state):
         parent, _ = state
         p = axis_scans(parent)
-        p = diag_min(p)
+        if full_connectivity:
+            p = diag_min(p)
         # pointer jumping: p <- p[p] (flat gather; sentinel row appended)
         for _ in range(jump_steps):
             pf = jnp.concatenate([p.ravel(), jnp.full((1,), N, jnp.int32)])

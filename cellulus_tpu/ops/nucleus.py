@@ -1,0 +1,162 @@
+"""Device-resident nucleus partition (the "nucleus" post-processing mode).
+
+The reference loops over instance ids, running a per-instance intensity
+Otsu + ``binary_fill_holes`` on each bounding box (reference
+``segment.py:52-101``); the host path (:func:`cellulus_tpu.segment.
+nucleus_partition`) keeps those semantics bbox-confined. This module is the
+TPU-native alternative: ONE device dispatch per (sample, bandwidth) that
+vectorizes all instances simultaneously —
+
+1. per-id raw-intensity min/max via scatter reductions,
+2. per-id 256-bin histograms (one scatter-add over pixels) and a
+   vectorized Otsu (the exact :mod:`.otsu` formula, batched over the id
+   axis on the VPU),
+3. ``keep = raw > thr[id]`` (constant-intensity instances keep their full
+   mask, as the reference does),
+4. hole filling: 4/6-connected components of the dropped/background set
+   (:func:`.components.cc_parents` with ``full_connectivity=False`` —
+   scipy's default ``binary_fill_holes`` structure), then every interior
+   component whose (axis-)neighboring labels are exactly one instance is
+   assigned that instance.
+
+Semantics match the per-instance host loop except for NESTED instances:
+a cavity of instance A that itself contains another instance B is left
+unfilled here (its neighbor set is {A, B}), while the reference's
+per-instance fill assigns it to A and later overwrites B's pixels. Nuclei
+do not nest in this pipeline's detections (labels come from mean-shift
+over spatially-regularized embeddings); the parity test asserts exact
+equality on realistic data.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import numpy as np
+
+from .components import cc_parents
+
+NBINS = 256
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+def _nucleus_body(seg, raw, num_ids_pad: int):
+    """Traceable kernel: ``(seg int32 (*shape), raw float32 (*shape)) ->
+    partitioned labels int32 (*shape)``. ``num_ids_pad`` bounds the id
+    table (static for jit; ids are 1..num_ids_pad-1, 0 = background)."""
+    import jax.numpy as jnp
+
+    shape = seg.shape
+    ndim = len(shape)
+    N = math.prod(shape)
+    flat_seg = seg.ravel()
+    flat_raw = raw.ravel()
+    fg = flat_seg > 0
+
+    # 1. per-id intensity range (background id 0 absorbs masked-out rows)
+    sidx = jnp.where(fg, flat_seg, 0)
+    big = jnp.float32(np.finfo(np.float32).max)
+    mins = jnp.full((num_ids_pad,), big).at[sidx].min(
+        jnp.where(fg, flat_raw, big)
+    )
+    maxs = jnp.full((num_ids_pad,), -big).at[sidx].max(
+        jnp.where(fg, flat_raw, -big)
+    )
+    span = maxs - mins
+    const = span <= 0  # single-valued instance: keep the whole mask
+
+    # 2. per-id histogram over each id's own [min, max] (the .otsu binning)
+    denom = jnp.where(const, 1.0, span)
+    b = jnp.clip(
+        ((flat_raw - mins[sidx]) / denom[sidx] * NBINS).astype(jnp.int32),
+        0,
+        NBINS - 1,
+    )
+    hist = jnp.zeros((num_ids_pad, NBINS), jnp.float32).at[
+        sidx, jnp.where(fg, b, 0)
+    ].add(jnp.where(fg, 1.0, 0.0))
+
+    # 3. vectorized Otsu (rows = ids; identical formula to otsu.threshold_otsu)
+    edges = mins[:, None] + span[:, None] * jnp.arange(NBINS + 1) / NBINS
+    centers = (edges[:, :-1] + edges[:, 1:]) / 2
+    w1 = jnp.cumsum(hist, axis=1)
+    w2 = jnp.cumsum(hist[:, ::-1], axis=1)[:, ::-1]
+    m1 = jnp.cumsum(hist * centers, axis=1) / jnp.maximum(w1, 1e-12)
+    m2 = (
+        jnp.cumsum((hist * centers)[:, ::-1], axis=1)
+        / jnp.maximum(w2[:, ::-1], 1e-12)
+    )[:, ::-1]
+    variance12 = w1[:, :-1] * w2[:, 1:] * (m1[:, :-1] - m2[:, 1:]) ** 2
+    thr = jnp.take_along_axis(
+        centers, jnp.argmax(variance12, axis=1)[:, None], axis=1
+    )[:, 0]
+
+    keep = fg & (const[sidx] | (flat_raw > thr[sidx]))
+    kept = jnp.where(keep, flat_seg, 0).reshape(shape)
+
+    # 4. hole fill: 4/6-connected zero components; interior components with
+    # exactly one distinct neighboring instance get that instance's id
+    zeros_map = (kept == 0).astype(jnp.int32)
+    parents = cc_parents(zeros_map, full_connectivity=False)
+    pflat = parents.ravel()  # in [0, N]; N = sentinel for kept pixels
+
+    border = jnp.zeros(shape, bool)
+    for axis in range(ndim):
+        sl0 = tuple(
+            slice(0, 1) if a == axis else slice(None) for a in range(ndim)
+        )
+        sl1 = tuple(
+            slice(-1, None) if a == axis else slice(None) for a in range(ndim)
+        )
+        border = border.at[sl0].set(True).at[sl1].set(True)
+    outside = jnp.zeros((N + 1,), bool).at[pflat].max(border.ravel())
+
+    k_pad = jnp.pad(kept, 1, constant_values=0)
+    nbr_min = jnp.full(shape, jnp.int32(np.iinfo(np.int32).max))
+    nbr_max = jnp.zeros(shape, jnp.int32)
+    for axis in range(ndim):
+        for forward in (0, 2):
+            off = [1] * ndim
+            off[axis] = forward
+            sl = tuple(slice(o, o + s) for o, s in zip(off, shape))
+            nbr = k_pad[sl]
+            nbr_min = jnp.where(nbr > 0, jnp.minimum(nbr_min, nbr), nbr_min)
+            nbr_max = jnp.maximum(nbr_max, nbr)
+    comp_min = jnp.full((N + 1,), jnp.int32(np.iinfo(np.int32).max)).at[
+        pflat
+    ].min(nbr_min.ravel())
+    comp_max = jnp.zeros((N + 1,), jnp.int32).at[pflat].max(nbr_max.ravel())
+    fill = jnp.where(
+        (~outside) & (comp_max > 0) & (comp_min == comp_max), comp_max, 0
+    )
+    return jnp.where(kept == 0, fill[pflat].reshape(shape), kept)
+
+
+@lru_cache(maxsize=32)
+def _nucleus_kernel(shape: tuple, num_ids_pad: int):
+    import jax
+
+    return jax.jit(partial(_nucleus_body, num_ids_pad=num_ids_pad))
+
+
+def nucleus_partition_device(
+    segmentation: np.ndarray, raw_image: np.ndarray
+) -> np.ndarray:
+    """Device nucleus partition of one sample; same contract as
+    :func:`cellulus_tpu.segment.nucleus_partition` (see module docstring
+    for the nested-instance caveat)."""
+    import jax.numpy as jnp
+
+    max_id = int(segmentation.max())
+    if max_id == 0:
+        return np.zeros_like(segmentation)
+    num_ids_pad = _next_pow2(max(max_id + 1, 8))
+    out = _nucleus_kernel(segmentation.shape, num_ids_pad)(
+        jnp.asarray(np.ascontiguousarray(segmentation), jnp.int32),
+        jnp.asarray(np.ascontiguousarray(raw_image), jnp.float32),
+    )
+    return np.asarray(out).astype(segmentation.dtype)

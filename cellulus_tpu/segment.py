@@ -26,6 +26,20 @@ from .ops.components import size_filter
 from .ops.otsu import threshold_otsu
 
 
+def want_device_nucleus(inference_config: InferenceConfig) -> bool:
+    """Resolve the device-nucleus knob: the ``device_nucleus`` config field
+    when set, else the CELLULUS_TPU_DEVICE_NUCLEUS env var. The device path
+    vectorizes all instances per sample in one dispatch (ops/nucleus.py)
+    where the host path loops instances serially; see the nested-instance
+    caveat in :mod:`cellulus_tpu.ops.nucleus`."""
+    import os
+
+    flag = getattr(inference_config, "device_nucleus", None)
+    if flag is not None:
+        return bool(flag)
+    return bool(os.environ.get("CELLULUS_TPU_DEVICE_NUCLEUS"))
+
+
 @lru_cache(maxsize=None)
 def _cell_segment_kernel(
     grow_distance: float, shrink_distance: float, min_size: int
@@ -213,12 +227,56 @@ def segment(inference_config: InferenceConfig) -> None:
         ds_raw = zarr.open(inference_config.dataset_config.container_path, "r")[
             inference_config.dataset_config.dataset_name
         ]
-        for sample in _progress(
-            range(meta.num_samples), "segment (nucleus)", total=meta.num_samples
-        ):
-            raw_image = np.asarray(ds_raw[sample, 0])
-            for k in range(inference_config.num_bandwidths):
-                seg = np.asarray(ds_in[sample, k])
-                seg = nucleus_partition(seg, raw_image)
-                filtered = size_filter(seg, inference_config.min_size)
+        if want_device_nucleus(inference_config):
+            # TPU path: ONE device dispatch per (sample, bandwidth) — all
+            # instances threshold/fill simultaneously (ops/nucleus.py) —
+            # jobs round-robin the mesh exactly like cell mode above
+            import concurrent.futures
+            import itertools
+
+            import jax
+
+            from .ops.nucleus import nucleus_partition_device
+
+            devices = jax.devices()
+
+            def one_nucleus(args):
+                idx, (sample, k) = args
+                raw_image = np.asarray(ds_raw[sample, 0])
+                with jax.default_device(devices[idx % len(devices)]):
+                    seg = nucleus_partition_device(
+                        np.asarray(ds_in[sample, k]), raw_image
+                    )
+                    filtered = size_filter(seg, inference_config.min_size)
                 ds_out[sample, k] = filtered.astype(np.uint16)
+
+            jobs = list(
+                enumerate(
+                    itertools.product(
+                        range(meta.num_samples),
+                        range(inference_config.num_bandwidths),
+                    )
+                )
+            )
+            import concurrent.futures as _cf
+
+            workers = max(2, min(len(devices), len(jobs)))
+            with _cf.ThreadPoolExecutor(max_workers=workers) as pool:
+                list(
+                    _progress(
+                        pool.map(one_nucleus, jobs),
+                        "segment (nucleus, device)",
+                        total=len(jobs),
+                    )
+                )
+        else:
+            for sample in _progress(
+                range(meta.num_samples), "segment (nucleus)",
+                total=meta.num_samples,
+            ):
+                raw_image = np.asarray(ds_raw[sample, 0])
+                for k in range(inference_config.num_bandwidths):
+                    seg = np.asarray(ds_in[sample, k])
+                    seg = nucleus_partition(seg, raw_image)
+                    filtered = size_filter(seg, inference_config.min_size)
+                    ds_out[sample, k] = filtered.astype(np.uint16)
