@@ -30,7 +30,26 @@ def train(argv=None) -> None:
 def infer(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Run cellulus-tpu inference")
     parser.add_argument("config_file")
+    parser.add_argument(
+        "--checkpoint-sweep",
+        action="store_true",
+        help="score EVERY retained checkpoint (numbered + best_loss) "
+        "against the configured ground truth and select by measured F1 — "
+        "the unsupervised training loss can anti-select on real data "
+        "(docs/validation.md); requires evaluation_dataset_config",
+    )
+    parser.add_argument(
+        "--keep-sweep-outputs",
+        action="store_true",
+        help="keep each checkpoint's stage outputs instead of deleting "
+        "the throwaway sweep containers after scoring",
+    )
     args = parser.parse_args(argv)
+    if args.checkpoint_sweep:
+        from .infer import checkpoint_sweep as run_sweep
+
+        run_sweep(_load(args.config_file), keep_outputs=args.keep_sweep_outputs)
+        return
     from .infer import infer as run
 
     run(_load(args.config_file))
@@ -120,6 +139,9 @@ def main(argv=None) -> None:
     for name in ("train", "infer"):
         p = sub.add_parser(name)
         p.add_argument("config_file")
+        if name == "infer":
+            p.add_argument("--checkpoint-sweep", action="store_true")
+            p.add_argument("--keep-sweep-outputs", action="store_true")
     e = sub.add_parser("export")
     e.add_argument("config_file")
     e.add_argument("output_dir")
@@ -132,7 +154,12 @@ def main(argv=None) -> None:
     if args.command == "train":
         train([args.config_file])
     elif args.command == "infer":
-        infer([args.config_file])
+        rest = [args.config_file]
+        if getattr(args, "checkpoint_sweep", False):
+            rest.append("--checkpoint-sweep")
+        if getattr(args, "keep_sweep_outputs", False):
+            rest.append("--keep-sweep-outputs")
+        infer(rest)
     elif args.command == "export":
         rest = [args.config_file, args.output_dir]
         if args.platforms:

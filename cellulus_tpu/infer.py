@@ -8,6 +8,7 @@ evaluate stages have dataset configs present.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -16,7 +17,7 @@ import numpy as np
 from .configs import ExperimentConfig
 from .detect import detect
 from .evaluate import evaluate
-from .io import DatasetMetaData
+from .io import DatasetMetaData, zarr
 from .models import init_params, spec_from_config
 from .predict import predict
 from .segment import segment
@@ -114,6 +115,112 @@ def infer(experiment_config: ExperimentConfig):
             with stage_timer("evaluate", items=meta.num_samples, unit="samples"):
                 results = evaluate(inference_config)
     return results
+
+
+def checkpoint_sweep(
+    experiment_config,
+    checkpoint_dir=None,
+    keep_outputs: bool = False,
+):
+    """Model selection by measurement: score every retained checkpoint.
+
+    The reference selects its serving model by lowest windowed training
+    loss (reference ``train.py:119-135``), but the unsupervised OCE loss
+    can ANTI-select on real data — measured on TissueNet skin, seg F1 fell
+    0.358 -> 0.216 across 5k -> 10k iterations while the loss decreased
+    monotonically (docs/validation.md). When ground truth (or a proxy) is
+    available, this sweep runs the full inference pipeline for every
+    numbered checkpoint plus ``best_loss.ckpt`` and reports measured
+    F1/SEG per checkpoint, making the selection empirical.
+
+    Each checkpoint's stage outputs go to a throwaway
+    ``<prediction container>.sweep-<stem>`` container (ground truth is
+    staged in, since evaluate reads GT and segmentation from one
+    container) and are deleted after scoring unless ``keep_outputs``.
+
+    Writes ``checkpoint_sweep.json`` next to the checkpoints; returns the
+    per-checkpoint rows. CLI: ``cellulus-tpu infer config.toml
+    --checkpoint-sweep``.
+    """
+    import copy
+    import json
+    import shutil
+
+    ic = experiment_config.inference_config
+    mc = experiment_config.model_config
+    if ic.evaluation_dataset_config is None:
+        raise ValueError(
+            "checkpoint_sweep needs inference_config.evaluation_dataset_config"
+            " (ground truth to measure against)"
+        )
+    if ic.prediction_dataset_config is None:
+        raise ValueError("checkpoint_sweep needs prediction_dataset_config")
+    ckpt_dir = Path(
+        checkpoint_dir
+        or (Path(mc.checkpoint).parent if mc.checkpoint else "models")
+    )
+    candidates = sorted(
+        (p for p in ckpt_dir.glob("*.ckpt") if p.stem.isdigit()),
+        key=lambda p: int(p.stem),
+    )
+    best_loss = ckpt_dir / "best_loss.ckpt"
+    if best_loss.exists():
+        candidates.append(best_loss)
+    if not candidates:
+        raise ValueError(f"no .ckpt checkpoints under {ckpt_dir}")
+
+    gt_cfg = ic.evaluation_dataset_config
+    gt_src = zarr.open(gt_cfg.container_path, "r")[gt_cfg.dataset_name]
+    gt_data = np.asarray(gt_src[...])
+    gt_attrs = gt_src.attrs.asdict()
+
+    rows = {}
+    for ckpt in candidates:
+        cfg = copy.deepcopy(experiment_config)
+        cfg.model_config.checkpoint = ckpt
+        sic = cfg.inference_config
+        base = Path(ic.prediction_dataset_config.container_path)
+        sweep_container = base.with_name(f"{base.name}.sweep-{ckpt.stem}")
+        if sweep_container.exists():
+            shutil.rmtree(sweep_container)
+        dst = zarr.open(sweep_container, "a")
+        dst[gt_cfg.dataset_name] = gt_data
+        dst[gt_cfg.dataset_name].attrs.update(gt_attrs)
+        for name in ("prediction", "detection", "segmentation", "evaluation"):
+            dc = getattr(sic, f"{name}_dataset_config")
+            if dc is not None:
+                dc.container_path = str(sweep_container)
+        results = infer(cfg)
+        best_bw = max(sorted(results), key=lambda k: results[k]["F1"])
+        rows[ckpt.name] = {
+            "checkpoint": str(ckpt),
+            "bandwidth_index": int(best_bw),
+            **{k: round(float(v), 4) for k, v in results[best_bw].items()},
+        }
+        if not keep_outputs:
+            shutil.rmtree(sweep_container, ignore_errors=True)
+
+    winner = max(rows, key=lambda name: rows[name]["F1"])
+    print("checkpoint sweep (best bandwidth per checkpoint):")
+    for name, row in rows.items():
+        marker = "  <- selected" if name == winner else ""
+        print(
+            f"  {name:>18}: " + " ".join(
+                f"{k} {v:.4f}" for k, v in row.items()
+                if isinstance(v, float)
+            ) + marker
+        )
+    if "best_loss.ckpt" in rows and winner != "best_loss.ckpt":
+        delta = rows[winner]["F1"] - rows["best_loss.ckpt"]["F1"]
+        print(
+            f"  NOTE: measured selection beats best-loss selection by "
+            f"{delta:+.4f} F1 — the unsupervised loss is not a reliable "
+            "model-selection proxy on this data"
+        )
+    out_path = ckpt_dir / "checkpoint_sweep.json"
+    out_path.write_text(json.dumps({"selected": winner, "rows": rows}, indent=2))
+    print(f"sweep written to {out_path}")
+    return rows
 
 
 # Callable module: keeps `cellulus_tpu.infer(config)` working even after an

@@ -86,6 +86,50 @@ def test_full_pipeline(blob_container_2d, tmp_path, monkeypatch, clustering):
     assert np.asarray(seg[...]).max() >= 0
 
 
+def test_checkpoint_sweep(blob_container_2d, tmp_path, monkeypatch):
+    """`infer --checkpoint-sweep` scores every retained checkpoint against
+    ground truth, writes checkpoint_sweep.json with a selected winner, and
+    cleans up its throwaway containers."""
+    import json
+    import shutil
+
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "out.zarr"
+    config = _experiment(blob_container_2d, out)
+    # stage GT + evaluation config (evaluate reads GT and segmentation
+    # from one container; the sweep restages GT per throwaway container)
+    src = zarr.open(blob_container_2d, "r")
+    f = zarr.open(out, "a")
+    f["groundtruth"] = np.asarray(src["groundtruth"][...])
+    f["groundtruth"].attrs.update(src["groundtruth"].attrs.asdict())
+    config.inference_config.evaluation_dataset_config = type(
+        config.inference_config.dataset_config
+    )(
+        container_path=str(out),
+        dataset_name="groundtruth",
+        secondary_dataset_name="segmentation",
+    )
+
+    cellulus_tpu.train(config)
+    models = tmp_path / "models"
+    shutil.copy2(models / "best_loss.ckpt", models / "000001.ckpt")
+    shutil.copy2(models / "best_loss.ckpt", models / "000002.ckpt")
+
+    from cellulus_tpu.infer import checkpoint_sweep
+
+    rows = checkpoint_sweep(config, checkpoint_dir=models)
+    # training may leave additional numbered checkpoints of its own
+    assert {"000001.ckpt", "000002.ckpt", "best_loss.ckpt"} <= set(rows)
+    for row in rows.values():
+        assert 0.0 <= row["F1"] <= 1.0 and 0.0 <= row["SEG"] <= 1.0
+    # identical weights -> identical scores
+    assert rows["000001.ckpt"]["F1"] == rows["000002.ckpt"]["F1"]
+    report = json.loads((models / "checkpoint_sweep.json").read_text())
+    assert report["selected"] in rows
+    # throwaway sweep containers removed
+    assert not list(tmp_path.glob("*.sweep-*"))
+
+
 def test_evaluate_stage(blob_container_2d, tmp_path, monkeypatch):
     """Evaluate ground truth against itself: F1 = SEG = 1."""
     monkeypatch.chdir(tmp_path)
