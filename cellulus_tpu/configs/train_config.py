@@ -84,6 +84,13 @@ class TrainConfig:
             set e.g. ``[62500, 93750]`` to reproduce the paper schedule at
             batch 8 on a 25k-sample epoch.
         lr_decay_factor: Multiplier applied at each milestone (paper: 0.1).
+        grad_clip_norm: [tpu extension] Clip the gradient's global norm to
+            this value before the optimizer update (torch
+            ``clip_grad_norm_`` ordering: clip, then L2 decay + Adam). The
+            OCE objective can diverge at aggressive learning rates (the
+            embedding-magnitude regularizer explodes while the bounded OCE
+            term saturates); default ``None`` never clips, matching the
+            reference.
         remat: [tpu extension] Rematerialize conv-pass activations in the
             backward pass (``jax.checkpoint``): peak activation memory
             drops to one pass's inputs at the cost of re-running forward
@@ -137,6 +144,7 @@ class TrainConfig:
     initial_learning_rate: float = 4e-5
     lr_milestones: Optional[List[int]] = None
     lr_decay_factor: float = 0.1
+    grad_clip_norm: Optional[float] = None
     density: float = 0.1
     kappa: float = 10.0
     temperature: float = 10.0
@@ -179,6 +187,10 @@ class TrainConfig:
         self.lr_decay_factor = float(self.lr_decay_factor)
         if self.lr_milestones is not None:
             self.lr_milestones = [int(m) for m in self.lr_milestones]
+        if self.grad_clip_norm is not None:
+            self.grad_clip_norm = float(self.grad_clip_norm)
+            if self.grad_clip_norm <= 0:
+                raise ValueError("grad_clip_norm must be > 0")
         self.control_point_jitter = float(self.control_point_jitter)
         if self.precision not in ("float32", "bfloat16"):
             raise ValueError("precision must be 'float32' or 'bfloat16'")

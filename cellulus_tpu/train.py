@@ -41,6 +41,7 @@ def make_optimizer(
     weight_decay: float = 0.01,
     lr_milestones=None,
     lr_decay_factor: float = 0.1,
+    grad_clip_norm=None,
 ):
     """torch ``Adam(lr, weight_decay)`` semantics: the decay term enters the
     gradient *before* the Adam moments (this is Adam-with-L2, not AdamW) —
@@ -49,7 +50,15 @@ def make_optimizer(
     ``lr_milestones`` implements the PAPER's recipe (Appendix A: LR / 10 at
     epochs 20/30), which the reference code never implemented — its Adam LR
     is constant. Disabled by default for code parity; pass iteration
-    numbers to decay by ``lr_decay_factor`` at each."""
+    numbers to decay by ``lr_decay_factor`` at each.
+
+    ``grad_clip_norm`` clips the raw gradient's global norm BEFORE the decay
+    term and the Adam moments (torch ``clip_grad_norm_``-before-``step``
+    ordering). The OCE objective can diverge at aggressive learning rates —
+    measured: TissueNet pancreas at lr 4e-4 explodes by iteration ~1000
+    (total loss 1e5 -> 1e8 while the bounded OCE term saturates; every
+    later checkpoint is degenerate). ``None`` (default) matches the
+    reference, which never clips."""
     if lr_milestones:
         milestones = sorted(int(m) for m in lr_milestones)
 
@@ -62,7 +71,11 @@ def make_optimizer(
         scale = optax.scale_by_schedule(schedule)
     else:
         scale = optax.scale(-learning_rate)
+    steps = [] if grad_clip_norm is None else [
+        optax.clip_by_global_norm(float(grad_clip_norm))
+    ]
     return optax.chain(
+        *steps,
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         scale,
@@ -715,6 +728,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         train_config.initial_learning_rate,
         lr_milestones=train_config.lr_milestones,
         lr_decay_factor=train_config.lr_decay_factor,
+        grad_clip_norm=train_config.grad_clip_norm,
     )
     opt_state = optimizer.init(params)
 

@@ -66,6 +66,10 @@ def main():
     ap.add_argument("--num-fmaps", type=int, default=24,
                     help="U-Net base feature maps (24 = reference demo, "
                          "64 = paper Appendix A recipe)")
+    ap.add_argument("--grad-clip", type=float, default=None,
+                    help="clip gradient global norm (train_config."
+                    "grad_clip_norm) — the pancreas retrain at lr 4e-4 "
+                    "diverged without it")
     ap.add_argument("--lr", type=float, default=4e-4,
                     help="initial learning rate (4e-4 = reference demo, "
                          "4e-5 = paper Appendix A recipe)")
@@ -209,6 +213,8 @@ def main():
                 "save_best_model_every": 100,
                 **({"lr_milestones": args.lr_milestones}
                    if args.lr_milestones else {}),
+                **({"grad_clip_norm": args.grad_clip}
+                   if args.grad_clip else {}),
                 "train_data_configs": [
                     {"container_path": str(work / "data.zarr"),
                      "dataset_name": "train"},

@@ -199,6 +199,50 @@ def test_lr_milestones_schedule():
     assert np.isclose(seen[4] / seen[3], 0.1, rtol=0.2)
 
 
+def test_grad_clip_norm():
+    """grad_clip_norm clips the RAW gradient before decay+Adam: a huge
+    gradient produces the same first update as the same gradient pre-scaled
+    to the clip norm; default (None) matches the unclipped reference chain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cellulus_tpu.train import make_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    huge = {"w": jnp.full((4,), 1e6)}
+    norm = float(jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(huge))))
+    scaled = jax.tree.map(lambda g: g * (1.0 / norm), huge)
+
+    clipped = make_optimizer(1e-2, grad_clip_norm=1.0)
+    plain = make_optimizer(1e-2)
+
+    u_clip, _ = clipped.update(huge, clipped.init(params), params)
+    u_ref, _ = plain.update(scaled, plain.init(params), params)
+    np.testing.assert_allclose(
+        np.asarray(u_clip["w"]), np.asarray(u_ref["w"]), rtol=1e-6
+    )
+
+    # below the threshold the clip is a no-op
+    small = {"w": jnp.full((4,), 0.1)}
+    u_small_clip, _ = clipped.update(small, clipped.init(params), params)
+    u_small_plain, _ = plain.update(small, plain.init(params), params)
+    np.testing.assert_allclose(
+        np.asarray(u_small_clip["w"]), np.asarray(u_small_plain["w"]),
+        rtol=1e-6,
+    )
+
+    # config surface: TOML-settable, validated
+    from cellulus_tpu.configs import TrainConfig
+
+    assert TrainConfig(grad_clip_norm="2.5").grad_clip_norm == 2.5
+    assert TrainConfig().grad_clip_norm is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        TrainConfig(grad_clip_norm=0)
+
+
 def test_steps_per_dispatch_checkpoint_boundary_semantics(
     blob_container_2d, tmp_path, monkeypatch
 ):
