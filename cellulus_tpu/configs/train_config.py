@@ -91,6 +91,14 @@ class TrainConfig:
             embedding-magnitude regularizer explodes while the bounded OCE
             term saturates); default ``None`` never clips, matching the
             reference.
+        log_grad_norm: [tpu extension] Record the raw (pre-clip) gradient
+            global norm as a ``grad_norm`` column in ``loss.csv`` — the
+            signal that catches OCE divergence immediately, and the
+            measured basis for choosing ``grad_clip_norm``. Off by
+            default: the recorder adds an optimizer-state leaf, so
+            toggling it across a resume resets Adam moments (warned).
+            With ``steps_per_dispatch`` > 1 only each chunk's last step
+            is observable; other rows log NaN.
         remat: [tpu extension] Rematerialize conv-pass activations in the
             backward pass (``jax.checkpoint``): peak activation memory
             drops to one pass's inputs at the cost of re-running forward
@@ -145,6 +153,7 @@ class TrainConfig:
     lr_milestones: Optional[List[int]] = None
     lr_decay_factor: float = 0.1
     grad_clip_norm: Optional[float] = None
+    log_grad_norm: bool = False
     density: float = 0.1
     kappa: float = 10.0
     temperature: float = 10.0

@@ -36,12 +36,31 @@ from .utils.checkpoint import load_checkpoint, save_checkpoint
 from .utils.logger import get_logger
 
 
+def _record_grad_norm():
+    """Identity transform whose state carries the RAW gradient's global
+    norm, read back by the train loop at logging cadence (one replicated
+    scalar; no effect on the update)."""
+
+    def init(params):
+        del params
+        return {"grad_norm": jnp.zeros((), jnp.float32)}
+
+    def update(updates, state, params=None):
+        del state, params
+        return updates, {
+            "grad_norm": optax.global_norm(updates).astype(jnp.float32)
+        }
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     learning_rate: float,
     weight_decay: float = 0.01,
     lr_milestones=None,
     lr_decay_factor: float = 0.1,
     grad_clip_norm=None,
+    log_grad_norm: bool = False,
 ):
     """torch ``Adam(lr, weight_decay)`` semantics: the decay term enters the
     gradient *before* the Adam moments (this is Adam-with-L2, not AdamW) —
@@ -58,7 +77,13 @@ def make_optimizer(
     measured: TissueNet pancreas at lr 4e-4 explodes by iteration ~1000
     (total loss 1e5 -> 1e8 while the bounded OCE term saturates; every
     later checkpoint is degenerate). ``None`` (default) matches the
-    reference, which never clips."""
+    reference, which never clips.
+
+    ``log_grad_norm`` prepends a recorder whose state carries the raw
+    (pre-clip) gradient norm; the train loop logs it as a ``grad_norm``
+    column in ``loss.csv``. Off by default — the extra state leaf changes
+    the optimizer-state structure, so toggling it across a resume resets
+    Adam moments (with a warning)."""
     if lr_milestones:
         milestones = sorted(int(m) for m in lr_milestones)
 
@@ -71,9 +96,12 @@ def make_optimizer(
         scale = optax.scale_by_schedule(schedule)
     else:
         scale = optax.scale(-learning_rate)
-    steps = [] if grad_clip_norm is None else [
-        optax.clip_by_global_norm(float(grad_clip_norm))
-    ]
+    steps = []
+    if log_grad_norm:
+        # first in the chain: records the norm BEFORE any clipping
+        steps.append(_record_grad_norm())
+    if grad_clip_norm is not None:
+        steps.append(optax.clip_by_global_norm(float(grad_clip_norm)))
     return optax.chain(
         *steps,
         optax.add_decayed_weights(weight_decay),
@@ -729,10 +757,13 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
         lr_milestones=train_config.lr_milestones,
         lr_decay_factor=train_config.lr_decay_factor,
         grad_clip_norm=train_config.grad_clip_norm,
+        log_grad_norm=train_config.log_grad_norm,
     )
     opt_state = optimizer.init(params)
 
     logger_keys = ["loss", "oce_loss"]
+    if train_config.log_grad_norm:
+        logger_keys.append("grad_norm")
     if train_config.validate_data_config is not None:
         logger_keys.append("val_loss")
     logger = get_logger(keys=logger_keys, title="loss")
@@ -970,7 +1001,8 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
 
     def consume(pending_entry):
         nonlocal epoch_loss, num_iterations
-        it, loss_dev, oce_dev = pending_entry
+        it, loss_dev, oce_dev = pending_entry[:3]
+        gn_dev = pending_entry[3] if len(pending_entry) > 3 else None
         loss_f = float(loss_dev)
         oce_f = float(oce_dev)
         if dist.is_primary():
@@ -982,6 +1014,8 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
             )
             logger.add("loss", loss_f)
             logger.add("oce_loss", oce_f)
+            if gn_dev is not None:
+                logger.add("grad_norm", float(gn_dev))
             logger.step()
         epoch_loss += loss_f
         num_iterations += 1
@@ -1168,7 +1202,11 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
 
                 if pending is not None:
                     consume(pending)
-                pending = (iteration, loss, oce)
+                pending = (iteration, loss, oce) + (
+                    (opt_state[0]["grad_norm"],)
+                    if train_config.log_grad_norm
+                    else ()
+                )
                 is_cadence = (
                     iteration % train_config.save_best_model_every == 0
                     or iteration % train_config.save_model_every == 0
@@ -1254,7 +1292,17 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
                 chunk_end = it + k_eff
                 do_best = do_ckpt = do_snapshot = False
                 for j in range(k_eff):
-                    consume((it + j, losses[j], oces[j]))
+                    # K>1: only the chunk's LAST step's raw grad norm is
+                    # observable (the scan returns final opt_state); NaN
+                    # rows keep the CSV column iteration-aligned
+                    gn = ()
+                    if train_config.log_grad_norm:
+                        gn = (
+                            (opt_state[0]["grad_norm"],)
+                            if j == k_eff - 1
+                            else (float("nan"),)
+                        )
+                    consume((it + j, losses[j], oces[j]) + gn)
                     iteration = it + j
                     do_best |= (
                         iteration % train_config.save_best_model_every == 0

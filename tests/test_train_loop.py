@@ -199,6 +199,48 @@ def test_lr_milestones_schedule():
     assert np.isclose(seen[4] / seen[3], 0.1, rtol=0.2)
 
 
+def test_log_grad_norm(blob_container_2d, tmp_path, monkeypatch):
+    """log_grad_norm=True records a positive, finite grad_norm column in
+    loss.csv (and in logger_data), one entry per iteration; with
+    steps_per_dispatch > 1 only chunk-end steps carry a value (NaN rows
+    keep alignment). grad_norm does not perturb training."""
+    import csv
+    import math
+
+    monkeypatch.chdir(tmp_path)
+    state = cellulus_tpu.train(
+        _config(blob_container_2d, log_grad_norm=True)
+    )
+    gns = state["logger_data"]["grad_norm"]
+    assert len(gns) == len(state["logger_data"]["loss"])
+    assert all(g > 0 and math.isfinite(g) for g in gns)
+    with open("loss.csv") as f:
+        header = next(csv.reader(f))
+    assert "grad_norm" in header
+
+    # identical training trajectory with the recorder off
+    monkeypatch.chdir(tmp_path / "..")
+    (tmp_path / "off").mkdir(exist_ok=True)
+    monkeypatch.chdir(tmp_path / "off")
+    base = cellulus_tpu.train(_config(blob_container_2d))
+    np.testing.assert_allclose(
+        _losses(state), _losses(base), rtol=1e-6
+    )
+
+    # K>1: chunk-end steps observable, mid-chunk rows NaN
+    (tmp_path / "k3").mkdir(exist_ok=True)
+    monkeypatch.chdir(tmp_path / "k3")
+    s3 = cellulus_tpu.train(
+        _config(blob_container_2d, log_grad_norm=True, steps_per_dispatch=3)
+    )
+    gns3 = s3["logger_data"]["grad_norm"]
+    assert len(gns3) == len(s3["logger_data"]["loss"])
+    assert all(
+        (math.isnan(g) if (i % 3) != 2 else g > 0)
+        for i, g in enumerate(gns3)
+    )
+
+
 def test_grad_clip_norm():
     """grad_clip_norm clips the RAW gradient before decay+Adam: a huge
     gradient produces the same first update as the same gradient pre-scaled
