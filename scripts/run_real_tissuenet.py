@@ -70,6 +70,9 @@ def main():
                     help="clip gradient global norm (train_config."
                     "grad_clip_norm) — the pancreas retrain at lr 4e-4 "
                     "diverged without it")
+    ap.add_argument("--log-grad-norm", action="store_true",
+                    help="record the raw gradient norm in loss.csv "
+                    "(train_config.log_grad_norm)")
     ap.add_argument("--lr", type=float, default=4e-4,
                     help="initial learning rate (4e-4 = reference demo, "
                          "4e-5 = paper Appendix A recipe)")
@@ -215,6 +218,7 @@ def main():
                    if args.lr_milestones else {}),
                 **({"grad_clip_norm": args.grad_clip}
                    if args.grad_clip else {}),
+                **({"log_grad_norm": True} if args.log_grad_norm else {}),
                 "train_data_configs": [
                     {"container_path": str(work / "data.zarr"),
                      "dataset_name": "train"},
