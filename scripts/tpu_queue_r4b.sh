@@ -1,0 +1,114 @@
+#!/bin/bash
+# Round-4b follow-on queue — fix the pancreas divergence with MEASURED
+# gradient clipping, then warm the bench compile caches for the driver's
+# end-of-round run. Idempotent + reboot-survivable like tpu_queue_r4.sh:
+# committed done-conditions gate every step.
+#
+# Steps:
+#   A  grad-norm probe: 300 iters of the pancreas recipe with
+#      log_grad_norm only -> clip = 2 x median healthy norm (committed)
+#   B  pancreas 10k retrain with --grad-clip <measured> (the unclipped
+#      run diverged by iter ~1000: loss 1e5 -> 1e8, all checkpoints
+#      degenerate) + checkpoint-vs-F1 curve scores
+#   C  one full bench.py run (warms compile + baseline caches so the
+#      driver's end-of-round record is not first-compile-skewed)
+#
+# Usage: setsid bash scripts/tpu_queue_r4b.sh > /tmp/tpu_queue_r4b.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+RD=examples/real-data
+
+log() { echo "[$(date +%H:%M:%S)] $*"; }
+run() { log "RUN $*"; "$@"; log "DONE (exit $?) $*"; }
+
+commit_paths() {
+  local msg="$1"; shift
+  local existing=()
+  for p in "$@"; do [ -e "$p" ] && existing+=("$p"); done
+  [ ${#existing[@]} -eq 0 ] && { log "commit skipped (nothing exists): $msg"; return; }
+  git add -- "${existing[@]}"
+  if ! git diff --cached --quiet -- "${existing[@]}"; then
+    git commit -q -m "$msg" -- "${existing[@]}" && log "COMMITTED: $msg"
+  else
+    log "commit skipped (no changes): $msg"
+  fi
+}
+
+should_stop() { [ -f .queue_stop ] && { log "STOP sentinel found; exiting"; return 0; }; return 1; }
+
+for wd in "$RD"/tissuenet_*; do
+  [ -d "$wd/ckpt" ] && python scripts/ckpt_tools.py restore "$wd"
+done
+
+# ---- A: grad-norm probe --------------------------------------------------
+PROBE=$RD/tissuenet_pancreas_probe
+should_stop && exit 0
+if [ ! -f "$PROBE/grad_norm_summary.json" ]; then
+  run python -u scripts/run_real_tissuenet.py --iters 300 --fast \
+      --log-grad-norm --skip-infer --threshold-quantile 90 \
+      --workdir "$PROBE" --tissue pancreas --scale 3
+  python3 - <<'EOF'
+import csv, json, math, pathlib, statistics
+p = pathlib.Path("examples/real-data/tissuenet_pancreas_probe")
+gns = []
+with open(p / "loss.csv") as f:
+    for i, row in enumerate(csv.DictReader(f)):
+        v = row.get("grad_norm", "")
+        if v and not math.isnan(float(v)) and i >= 50:  # skip warm-up
+            gns.append(float(v))
+med = statistics.median(gns)
+clip = round(2 * med, 1)  # 2x healthy median: lets normal steps through,
+# suppresses the 1e3x explosion spikes
+json.dump(
+    {"median_grad_norm": med, "p90": sorted(gns)[int(0.9 * len(gns))],
+     "max": max(gns), "clip": clip, "n": len(gns)},
+    open(p / "grad_norm_summary.json", "w"), indent=2,
+)
+print("median", med, "-> clip", clip)
+EOF
+  commit_paths "r4 pancreas grad-norm probe: measured clip value" \
+      "$PROBE/grad_norm_summary.json"
+fi
+CLIP=$(python3 -c "import json; print(json.load(open('$PROBE/grad_norm_summary.json'))['clip'])")
+log "using grad clip $CLIP"
+
+# ---- B: pancreas retrain with measured clipping --------------------------
+WD=$RD/tissuenet_pancreas_s3g
+should_stop && exit 0
+need=1
+if [ -f "$WD/results.json" ] && [ -f "$WD/models/best_loss.ckpt" ]; then
+  python3 -c "import json,sys; sys.exit(0 if json.load(open('$WD/results.json')).get('iters')==10000 else 1)" && need=0
+fi
+if [ "$need" = 1 ]; then
+  run python -u scripts/run_real_tissuenet.py --iters 10000 --resume --fast \
+      --threshold-quantile 90 --lr-milestones 6000 8000 --save-every 1000 \
+      --grad-clip "$CLIP" --log-grad-norm \
+      --workdir "$WD" --tissue pancreas --scale 3
+  python scripts/ckpt_tools.py persist --final "$WD"
+  commit_paths "r4 pancreas retrain with measured grad clip: results" \
+      "$WD/results.json" "$WD/ckpt" "$WD"/*_overlay.png "$WD/loss.csv"
+fi
+
+prev=-1000
+for ck in "$WD"/models/[0-9]*.ckpt; do
+  [ -e "$ck" ] || continue
+  stem=$(basename "$ck" .ckpt)
+  it=$((10#$stem))
+  [ "$it" -lt 1000 ] && continue
+  [ $((it - prev)) -lt 100 ] && continue
+  prev=$it
+  tag="ckpt${stem}"
+  [ -f "$WD/results_${tag}.json" ] && { log "SKIP $tag (scored)"; continue; }
+  should_stop && exit 0
+  run python -u scripts/run_real_tissuenet.py --skip-train \
+      --checkpoint "models/${stem}.ckpt" --results-tag "$tag" \
+      --num-bandwidths 1 --workdir "$WD" --tissue pancreas --scale 3 \
+      --threshold-quantile 90
+done
+commit_paths "r4 pancreas (clipped): checkpoint-vs-F1 curve scores" \
+    "$WD"/results_ckpt*.json
+
+# ---- C: bench warm-up -----------------------------------------------------
+should_stop && exit 0
+run python bench.py
+log "queue r4b complete"
