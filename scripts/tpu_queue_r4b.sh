@@ -108,6 +108,40 @@ done
 commit_paths "r4 pancreas (clipped): checkpoint-vs-F1 curve scores" \
     "$WD"/results_ckpt*.json
 
+# ---- B2: 3D precision A/B in the VALIDATED regime -------------------------
+# The r4 queue's 3D A/B cells ran validate_quality's default 3D recipe
+# (pair_count_mode=reference, density 0.3) — the regime docs/validation.md
+# documents as HIGH-VARIANCE (F1 0.03-0.79 across identical reruns), so its
+# bf16-vs-f32 gap (0.174 vs 0.913) is confounded by recipe variance. Re-run
+# both precisions in the validated stable regime (all_dims, density 0.05).
+PAB=examples/precision_ab
+pab3v_done() {  # $1=precision
+  [ -f "$PAB/results.jsonl" ] || return 1
+  python3 - "$1" <<'EOF'
+import json, sys
+prec = sys.argv[1]
+for line in open("examples/precision_ab/results.jsonl"):
+    r = json.loads(line)
+    if (r["ndim"] == 3 and r["precision"] == prec
+            and r.get("pair_count_mode") == "all_dims"):
+        sys.exit(0)
+sys.exit(1)
+EOF
+}
+for prec in bfloat16 float32; do
+  should_stop && exit 0
+  if pab3v_done "$prec"; then
+    log "SKIP 3D validated-regime A/B $prec (recorded)"
+    continue
+  fi
+  run python -u scripts/validate_quality.py --ndim 3 --iters 2500 \
+      --precision "$prec" --fast --pair-count-mode all_dims --density 0.05 \
+      --workdir ".bench_work/precision_ab/wd_3d_${prec}_alldims" \
+      --results-json "$PAB/results.jsonl"
+  commit_paths "precision A/B: 3D $prec in the validated all_dims regime" \
+      "$PAB/results.jsonl"
+done
+
 # ---- C: bench warm-up -----------------------------------------------------
 should_stop && exit 0
 run python bench.py
