@@ -49,8 +49,19 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def probe_device(timeout_s: float):
-    """Check that the default JAX backend can initialize, in a SUBPROCESS.
+def fence(x) -> float:
+    """End a timed region with a REAL d2h fetch.
+
+    ``jax.block_until_ready`` does not reliably block over the axon tunnel
+    (NOTES.md measurement rule: a 20-iteration scan "completed" in 0.1 ms
+    wall under it); only an actual host fetch of the final output is a
+    trustworthy fence. Returns the last element as a float so callers can
+    reuse the fetched value."""
+    return float(np.asarray(x).ravel()[-1])
+
+
+def probe_device(timeout_s: float, platform: str | None = None):
+    """Check that the JAX backend can initialize, in a SUBPROCESS.
 
     A killed device-holding process can leave the remote axon session
     claimed, after which every new process hangs forever inside backend
@@ -65,9 +76,14 @@ def probe_device(timeout_s: float):
     import subprocess
     import tempfile
 
+    # a BENCH_PLATFORM=cpu smoke test must not touch the (possibly busy)
+    # tunneled TPU session at all — probe the platform that will be used
+    flip = (
+        f"jax.config.update('jax_platforms', {platform!r}); " if platform else ""
+    )
     with tempfile.TemporaryFile() as err:
         proc = subprocess.Popen(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", f"import jax; {flip}jax.devices()"],
             stdout=subprocess.DEVNULL,
             stderr=err,
         )
@@ -91,7 +107,7 @@ def probe_device(timeout_s: float):
 
 def main():
     probe_timeout = float(os.environ.get("BENCH_DEVICE_PROBE_TIMEOUT", "300"))
-    ok, reason = probe_device(probe_timeout)
+    ok, reason = probe_device(probe_timeout, os.environ.get("BENCH_PLATFORM"))
     if not ok:
         log(
             "device backend failed to initialize — emitting an error record "
@@ -281,14 +297,14 @@ def main():
             )
             train_samples += K * tc.batch_size
             if c == 0:
-                jax.block_until_ready(losses)
+                fence(losses)
                 t_train0 = time.perf_counter()  # exclude compile
                 train_samples = 0
             else:
                 now = time.perf_counter()
                 chunk_secs.append(now - t_chunk)
             t_chunk = time.perf_counter()
-    loss = jax.block_until_ready(losses)[-1]
+    loss = fence(losses)
     train_secs = time.perf_counter() - t_train0
     train_sps = train_samples / max(train_secs, 1e-9)
     med_chunk = float(np.median(chunk_secs)) if chunk_secs else float("nan")
@@ -314,11 +330,11 @@ def main():
         )
     keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(jnp.arange(K))
     params, opt_state, losses, _ = multi(params, opt_state, raw_K, keys)
-    jax.block_until_ready(losses)
+    fence(losses)
     t0 = time.perf_counter()
     for c in range(STAGE):
         params, opt_state, losses, _ = multi(params, opt_state, raw_K, keys)
-    jax.block_until_ready(losses)
+    fence(losses)
     t_res = time.perf_counter() - t0
     res_sps = STAGE * K * tc.batch_size / t_res
     res_mfu = step_flops * STAGE * K / t_res / peak_flops
@@ -340,13 +356,13 @@ def main():
     pparams, pairs_opt_state, losses, _ = pairs_multi(
         jax.tree_util.tree_map(jnp.copy, params), pairs_opt_state, raw_K, keys
     )
-    jax.block_until_ready(losses)
+    fence(losses)
     t0 = time.perf_counter()
     for c in range(STAGE):
         pparams, pairs_opt_state, losses, _ = pairs_multi(
             pparams, pairs_opt_state, raw_K, keys
         )
-    jax.block_until_ready(losses)
+    fence(losses)
     t_pairs = time.perf_counter() - t0
     pairs_sps = STAGE * K * tc.batch_size / t_pairs
     pairs_mfu = step_flops * STAGE * K / t_pairs / peak_flops
@@ -370,13 +386,13 @@ def main():
     fparams, f32_opt_state, losses, _ = f32_multi(
         jax.tree_util.tree_map(jnp.copy, params), f32_opt_state, raw_K, keys
     )
-    jax.block_until_ready(losses)
+    fence(losses)
     t0 = time.perf_counter()
     for c in range(STAGE):
         fparams, f32_opt_state, losses, _ = f32_multi(
             fparams, f32_opt_state, raw_K, keys
         )
-    jax.block_until_ready(losses)
+    fence(losses)
     t_f32 = time.perf_counter() - t0
     f32_sps = STAGE * K * tc.batch_size / t_f32
     del fparams, f32_opt_state
@@ -431,13 +447,13 @@ def main():
             jax.tree_util.tree_map(jnp.copy, params), el_opt_state,
             raw_K_el, keys
         )
-        jax.block_until_ready(losses)
+        fence(losses)
         t0 = time.perf_counter()
         for c in range(STAGE):
             eparams, el_opt_state, losses, _ = el_multi(
                 eparams, el_opt_state, raw_K_el, keys
             )
-        jax.block_until_ready(losses)
+        fence(losses)
         t_el = time.perf_counter() - t0
         el_sps = STAGE * K * tc.batch_size / t_el
         del eparams, el_opt_state
@@ -844,14 +860,14 @@ def bench_3d(work, peak_flops):
                 np.stack([np.moveaxis(next(it)[0], 1, -1) for _ in range(K)])
             )
             params, opt_state, losses, _ = multi(params, opt_state, raw_K, keys)
-    jax.block_until_ready(losses)
+    fence(losses)
 
     # device-resident step timing (staged batch, chained via donation)
     STAGE = 4
     t0 = time.perf_counter()
     for c in range(STAGE):
         params, opt_state, losses, _ = multi(params, opt_state, raw_K, keys)
-    jax.block_until_ready(losses)
+    fence(losses)
     t_res = time.perf_counter() - t0
     step_flops = 3 * model_flops(spec, tuple(tc.crop_size)) * tc.batch_size
     sps3 = STAGE * K * tc.batch_size / t_res
