@@ -30,6 +30,7 @@ import json
 import os
 import sys
 import time
+from collections import deque
 from pathlib import Path
 
 import numpy as np
@@ -275,13 +276,18 @@ def main():
             "train metric needs >= 2 dispatch chunks (the first is compile "
             "warm-up)"
         )
-    chunk_secs = []  # submission-to-submission walls per dispatch chunk:
-    # under steady backpressure these converge to the true streaming rate,
-    # and their median reads through transient host/tunnel stalls that a
+    chunk_secs = []  # per-chunk walls under a bounded (depth-2) pipeline:
+    # the median reads through transient host/tunnel stalls that a
     # single total-wall number conflates with framework regressions (r02
-    # recorded 212 samples/s streaming, r03 78 on identical code). The loop
-    # itself stays non-blocking so device work overlaps host data prep
-    # exactly as before.
+    # recorded 212 samples/s streaming, r03 78 on identical code).
+    # Run-ahead is BOUNDED: before timing chunk c the host fences chunk
+    # c-2's loss. Purely submission-to-submission walls would let PJRT
+    # absorb unbounded in-flight dispatches, so whenever the DEVICE is the
+    # bottleneck the walls would measure only host data prep and the
+    # median would overstate streaming throughput; depth-2 keeps
+    # host/device overlap (double buffering) while anchoring every wall
+    # to real device completion within two chunks.
+    inflight: deque = deque()
     with BatchLoader(dataset, tc.batch_size, num_workers=4) as loader:
         it = iter(loader)
         t_chunk = time.perf_counter()
@@ -301,6 +307,9 @@ def main():
                 t_train0 = time.perf_counter()  # exclude compile
                 train_samples = 0
             else:
+                inflight.append(losses)
+                if len(inflight) > 2:
+                    fence(inflight.popleft())
                 now = time.perf_counter()
                 chunk_secs.append(now - t_chunk)
             t_chunk = time.perf_counter()
