@@ -106,6 +106,31 @@ for prec in bfloat16 float32; do
       "$PAB/results.jsonl"
 done
 
+# ---- B2: finish the pooled early-stop curve (r4c step B may hit its
+# deadline mid-scoring; this loop is the same idempotent protocol) ----------
+WD=$RD/tissuenet_all_s3e
+[ -d "$WD/ckpt" ] && python scripts/ckpt_tools.py restore "$WD"
+if [ -d "$WD/models" ]; then
+  prev=-1000
+  for ck in "$WD"/models/[0-9]*.ckpt; do
+    [ -e "$ck" ] || continue
+    stem=$(basename "$ck" .ckpt)
+    it=$((10#$stem))
+    [ "$it" -lt 400 ] && continue
+    [ $((it - prev)) -lt 100 ] && continue
+    prev=$it
+    tag="ckpt${stem}"
+    [ -f "$WD/results_${tag}.json" ] && { log "SKIP $tag (scored)"; continue; }
+    should_stop && break
+    run python -u scripts/run_real_tissuenet.py --skip-train \
+        --checkpoint "models/${stem}.ckpt" --results-tag "$tag" \
+        --num-bandwidths 1 --workdir "$WD" --tissue all --scale 3 \
+        --normalize-per-panel --threshold-quantile 90
+  done
+  commit_paths "r4c pooled early-stop study: checkpoint-vs-F1 curve scores" \
+      "$WD"/results_ckpt*.json
+fi
+
 # ---- C: variance probe at density 0.05 (second bf16 run) -------------------
 n_05_bf16() {
   [ -f "$PAB/results.jsonl" ] || { echo 0; return; }
