@@ -479,40 +479,49 @@ def pack_state(
 
 
 def check_3d_density_envelope(
-    num_spatial_dims: int, density: float, pair_count_mode: str = "reference"
+    num_spatial_dims: int,
+    density: float,
+    pair_count_mode: str = "reference",
+    lr: float = 4e-4,
 ) -> None:
-    """Warn when a 3D run leaves the validated pair-density envelope.
+    """Warn when a 3D run leaves the validated lr x pair-density envelope.
 
-    2D's default ``density = 0.1`` is NOT a safe 3D default: on 3D volumes
-    the embedding collapses (every pixel maps to one cluster) for densities
-    well above the validated recipe, while ``density = 0.05`` with
-    ``pair_count_mode = "all_dims"`` trains to F1 1.0 (docs/validation.md,
-    measured on TPU; the collapse boundary table lives there too). The
-    reference's pair count uses only the first two spatial dims even in 3D
-    (reference ``datasets/zarr_dataset.py:244-248``), which makes its 3D
-    pair budget erratic — this guard is a deviation in the user's favor.
+    2D's default ``density = 0.1`` is NOT a safe 3D default *at the default
+    lr*: on 3D volumes the embedding degrades or collapses when the learning
+    rate and the pair density are jointly too large. The round-4 lr x density
+    grid (docs/validation.md) shows the boundary is their PRODUCT, not the
+    density alone: every measured cell with ``lr * density <= 2e-5`` scores
+    F1 >= 0.91 — including density 0.1 (the 2D default) once lr drops to
+    1e-4, which scores F1 1.0 — while every cell above scores <= 0.52 and
+    high-lr cells collapse outright (F1 0.009 at lr 1.6e-3, density 0.025).
+    Below ``density ~0.02`` pair starvation collapses training regardless of
+    lr. The reference's pair count uses only the first two spatial dims even
+    in 3D (reference ``datasets/zarr_dataset.py:244-248``), which makes its
+    3D pair budget erratic — this guard is a deviation in the user's favor.
     """
     if num_spatial_dims < 3:
         return
     import warnings
 
-    if density > 0.05 + 1e-9:
-        warnings.warn(
-            f"3D training with density={density:g} is outside the validated "
-            "envelope: 3D quality degrades monotonically above ~0.05 (the "
-            "2D default 0.1 scores F1 0.48 vs 0.96 at 0.025 in the "
-            "docs/validation.md sweep, and collapsed outright in the "
-            "round-2 recipe). Set train_config.density in [0.025, 0.05] "
-            'with pair_count_mode = "all_dims" for the validated 3D band.',
-            RuntimeWarning,
-            stacklevel=3,
-        )
-    elif density < 0.02 - 1e-9:
+    if density < 0.02 - 1e-9:
         warnings.warn(
             f"3D training with density={density:g} is below the validated "
             "envelope: pair starvation collapses training (density 0.0125 "
             "scored F1 0.085 in the docs/validation.md sweep). Set "
             "train_config.density in [0.025, 0.05] with "
+            'pair_count_mode = "all_dims".',
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    elif lr * density > 2e-5 + 1e-12:
+        warnings.warn(
+            f"3D training with lr={lr:g} and density={density:g} "
+            f"(lr*density={lr * density:.2g}) is outside the validated "
+            "envelope: in the docs/validation.md lr x density grid every "
+            "cell with lr*density <= 2e-5 scores F1 >= 0.91 and every cell "
+            "above scores <= 0.52 (e.g. density 0.1 scores F1 0.48 at "
+            "lr 4e-4 but F1 1.0 at lr 1e-4). Lower train_config.learning_rate "
+            "or train_config.density so their product is <= 1e-5, with "
             'pair_count_mode = "all_dims".',
             RuntimeWarning,
             stacklevel=3,
@@ -737,6 +746,7 @@ def train(experiment_config: ExperimentConfig) -> Dict[str, Any]:
     check_3d_density_envelope(
         dataset.get_num_spatial_dims(), train_config.density,
         getattr(train_config, "pair_count_mode", "reference"),
+        lr=train_config.initial_learning_rate,
     )
     compute_dtype = (
         jnp.bfloat16 if train_config.precision == "bfloat16" else jnp.float32

@@ -330,9 +330,10 @@ def test_steps_per_dispatch_checkpoint_boundary_semantics(
 
 
 def test_3d_density_envelope_guard():
-    """3D runs outside the validated density envelope warn; the validated
-    recipe (density 0.05 + all_dims) and all 2D configs stay silent
-    (docs/validation.md collapse table)."""
+    """3D runs outside the validated lr x density envelope warn; the
+    validated recipes (density 0.05 + all_dims at lr 4e-4; density 0.1 at
+    lr 1e-4) and all 2D configs stay silent (docs/validation.md lr x density
+    grid)."""
     import warnings
 
     from cellulus_tpu.train import check_3d_density_envelope
@@ -342,16 +343,24 @@ def test_3d_density_envelope_guard():
         check_3d_density_envelope(2, 0.1)
         check_3d_density_envelope(2, 0.5, "reference")
         assert not w
-        check_3d_density_envelope(3, 0.05, "all_dims")
+        check_3d_density_envelope(3, 0.05, "all_dims")  # headline recipe
+        check_3d_density_envelope(3, 0.025, "all_dims")  # stable point
+        # density 0.1 is fine once lr compensates (grid: F1 1.0 at 1e-4)
+        check_3d_density_envelope(3, 0.1, "all_dims", lr=1e-4)
         assert not w
+        # 2D default density at the default-recipe lr: product 4e-5 > 2e-5
         check_3d_density_envelope(3, 0.1, "all_dims")
         assert len(w) == 1
         assert "outside the validated" in str(w[-1].message)
-        check_3d_density_envelope(3, 0.05, "reference")
+        # high lr collapses even the stable density (grid: F1 0.009)
+        check_3d_density_envelope(3, 0.025, "all_dims", lr=1.6e-3)
         assert len(w) == 2
+        assert "outside the validated" in str(w[-1].message)
+        check_3d_density_envelope(3, 0.05, "reference")
+        assert len(w) == 3
         assert "2-dim formula" in str(w[-1].message)
         check_3d_density_envelope(3, 0.0125, "all_dims")
-        assert len(w) == 3
+        assert len(w) == 4
         assert "below the validated envelope" in str(w[-1].message)
 
 
