@@ -28,7 +28,9 @@ def enable_compilation_cache() -> None:
     points on TPU platforms only (CPU AOT results are machine-feature
     sensitive and can SIGILL when reloaded). Opt out with
     CELLULUS_TPU_NO_COMPILE_CACHE=1."""
-    if os.environ.get("CELLULUS_TPU_NO_COMPILE_CACHE"):
+    from .utils.env import env_flag
+
+    if env_flag("CELLULUS_TPU_NO_COMPILE_CACHE"):
         return
     try:
         import jax

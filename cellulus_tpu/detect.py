@@ -31,12 +31,12 @@ def want_device_detect(inference_config: InferenceConfig) -> bool:
     when set, else the CELLULUS_TPU_DEVICE_DETECT env var (override for
     experiments). Wins on directly attached TPUs; loses over this build
     host's tunnel (0.65 vs 0.37 s/sample, NOTES.md)."""
-    import os
+    from .utils.env import resolve_flag
 
-    flag = getattr(inference_config, "device_detect", None)
-    if flag is not None:
-        return bool(flag)
-    return bool(os.environ.get("CELLULUS_TPU_DEVICE_DETECT"))
+    return resolve_flag(
+        getattr(inference_config, "device_detect", None),
+        "CELLULUS_TPU_DEVICE_DETECT",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -246,10 +246,10 @@ def _use_pallas(requested: Optional[bool] = None) -> bool:
     Pallas ball kernel (0.063s vs 0.172s per sample, 87k fit points / 256
     seeds) — the MXU matmul path wins when S is small. The kernel stays for
     large-S regimes and as a Pallas reference."""
-    import os
+    from ..utils.env import env_flag
 
     if requested is None:
-        requested = bool(os.environ.get("CELLULUS_TPU_PALLAS"))
+        requested = env_flag("CELLULUS_TPU_PALLAS")
     if not requested:
         return False
     try:

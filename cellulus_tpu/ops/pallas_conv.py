@@ -169,9 +169,9 @@ def conv_pass_2d(
 
 
 def use_pallas_conv() -> bool:
-    import os
+    from ..utils.env import env_flag
 
-    if not os.environ.get("CELLULUS_TPU_PALLAS_CONV"):
+    if not env_flag("CELLULUS_TPU_PALLAS_CONV"):
         return False
     try:
         return jax.default_backend() not in ("cpu",)

@@ -138,9 +138,9 @@ def smooth_peak_seeds(
     order = np.argsort(-values, kind="stable")
     result = np.flip(coords[order], 1).astype(np.float32)
 
-    import os
+    from ..utils.env import env_flag
 
-    if os.environ.get("CELLULUS_TPU_CHECK_SEEDS"):
+    if env_flag("CELLULUS_TPU_CHECK_SEEDS"):
         # debug cross-check against the scipy oracle. The contract (see
         # docstring): peak COORDINATES are exact; the intensity-descending
         # ORDER can swap among ULP-tied peaks, because the device's

@@ -23,7 +23,9 @@ def progress(
     min_interval: float = 1.0,
 ) -> Iterator[T]:
     """Yield from ``iterable``, printing rate-limited progress to stderr."""
-    if os.environ.get("CELLULUS_TPU_NO_PROGRESS"):
+    from .env import env_flag
+
+    if env_flag("CELLULUS_TPU_NO_PROGRESS"):
         yield from iterable
         return
     if total is None:
