@@ -32,12 +32,39 @@ def want_device_nucleus(inference_config: InferenceConfig) -> bool:
     vectorizes all instances per sample in one dispatch (ops/nucleus.py)
     where the host path loops instances serially; see the nested-instance
     caveat in :mod:`cellulus_tpu.ops.nucleus`."""
-    import os
+    from .utils.env import resolve_flag
 
-    flag = getattr(inference_config, "device_nucleus", None)
-    if flag is not None:
-        return bool(flag)
-    return bool(os.environ.get("CELLULUS_TPU_DEVICE_NUCLEUS"))
+    return resolve_flag(
+        getattr(inference_config, "device_nucleus", None),
+        "CELLULUS_TPU_DEVICE_NUCLEUS",
+    )
+
+
+def _run_device_jobs(fn, num_samples: int, num_bandwidths: int, label: str) -> None:
+    """Run independent ``fn(sample, k)`` jobs over every (sample, bandwidth)
+    pair: workers overlap host glue with device compute, and with >1 device
+    the jobs round-robin across chips (thread-local ``jax.default_device``)
+    so the stage scales with the mesh."""
+    import concurrent.futures
+    import itertools
+
+    import jax
+
+    from .utils.progress import progress as _progress
+
+    devices = jax.devices()
+
+    def one(args):
+        idx, (sample, k) = args
+        with jax.default_device(devices[idx % len(devices)]):
+            fn(sample, k)
+
+    jobs = list(
+        enumerate(itertools.product(range(num_samples), range(num_bandwidths)))
+    )
+    workers = max(2, min(len(devices), len(jobs)))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
+        list(_progress(pool.map(one, jobs), label, total=len(jobs)))
 
 
 @lru_cache(maxsize=None)
@@ -181,41 +208,21 @@ def segment(inference_config: InferenceConfig) -> None:
     ds_out.attrs.update(_spatial_attrs(meta))
 
     if inference_config.post_processing == "cell":
-        # (sample, bandwidth) jobs are independent single-dispatch device
-        # programs; workers overlap host glue with device compute, and with
-        # >1 device the jobs round-robin across chips (thread-local
-        # jax.default_device) — the stage scales with the mesh
-        import concurrent.futures
-        import itertools
-
-        import jax
-
-        devices = jax.devices()
-
-        def one(args):
-            idx, (sample, k) = args
-            with jax.default_device(devices[idx % len(devices)]):
-                seg = cell_segment_sample(
-                    np.asarray(ds_in[sample, k]),
-                    inference_config.grow_distance,
-                    inference_config.shrink_distance,
-                    inference_config.min_size,
-                )
+        def cell_job(sample: int, k: int) -> None:
+            seg = cell_segment_sample(
+                np.asarray(ds_in[sample, k]),
+                inference_config.grow_distance,
+                inference_config.shrink_distance,
+                inference_config.min_size,
+            )
             ds_out[sample, k] = seg.astype(np.uint16)
 
-        jobs = list(
-            enumerate(
-                itertools.product(
-                    range(meta.num_samples),
-                    range(inference_config.num_bandwidths),
-                )
-            )
+        _run_device_jobs(
+            cell_job,
+            meta.num_samples,
+            inference_config.num_bandwidths,
+            "segment",
         )
-        from .utils.progress import progress as _progress
-
-        workers = max(2, min(len(devices), len(jobs)))
-        with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
-            list(_progress(pool.map(one, jobs), "segment", total=len(jobs)))
     else:  # nucleus
         from .utils.progress import progress as _progress
 
@@ -231,44 +238,29 @@ def segment(inference_config: InferenceConfig) -> None:
             # TPU path: ONE device dispatch per (sample, bandwidth) — all
             # instances threshold/fill simultaneously (ops/nucleus.py) —
             # jobs round-robin the mesh exactly like cell mode above
-            import concurrent.futures
-            import itertools
-
-            import jax
+            from functools import lru_cache as _lru_cache
 
             from .ops.nucleus import nucleus_partition_device
 
-            devices = jax.devices()
+            @_lru_cache(maxsize=32)
+            def raw_sample(sample: int) -> np.ndarray:
+                # one zarr read + decompress per sample, shared across the
+                # bandwidth jobs (they arrive sample-grouped)
+                return np.asarray(ds_raw[sample, 0])
 
-            def one_nucleus(args):
-                idx, (sample, k) = args
-                raw_image = np.asarray(ds_raw[sample, 0])
-                with jax.default_device(devices[idx % len(devices)]):
-                    seg = nucleus_partition_device(
-                        np.asarray(ds_in[sample, k]), raw_image
-                    )
-                    filtered = size_filter(seg, inference_config.min_size)
+            def nucleus_job(sample: int, k: int) -> None:
+                seg = nucleus_partition_device(
+                    np.asarray(ds_in[sample, k]), raw_sample(sample)
+                )
+                filtered = size_filter(seg, inference_config.min_size)
                 ds_out[sample, k] = filtered.astype(np.uint16)
 
-            jobs = list(
-                enumerate(
-                    itertools.product(
-                        range(meta.num_samples),
-                        range(inference_config.num_bandwidths),
-                    )
-                )
+            _run_device_jobs(
+                nucleus_job,
+                meta.num_samples,
+                inference_config.num_bandwidths,
+                "segment (nucleus, device)",
             )
-            import concurrent.futures as _cf
-
-            workers = max(2, min(len(devices), len(jobs)))
-            with _cf.ThreadPoolExecutor(max_workers=workers) as pool:
-                list(
-                    _progress(
-                        pool.map(one_nucleus, jobs),
-                        "segment (nucleus, device)",
-                        total=len(jobs),
-                    )
-                )
         else:
             for sample in _progress(
                 range(meta.num_samples), "segment (nucleus)",
