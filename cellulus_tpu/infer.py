@@ -190,19 +190,36 @@ def checkpoint_sweep(
             dc = getattr(sic, f"{name}_dataset_config")
             if dc is not None:
                 dc.container_path = str(sweep_container)
-        results = infer(cfg)
+        try:
+            results = infer(cfg)
+        except Exception as exc:
+            # one corrupt/truncated checkpoint (the reboot scenario this
+            # tooling exists for) must not discard the already-scored rows
+            print(f"checkpoint_sweep: {ckpt.name} FAILED, skipping: {exc!r}")
+            rows[ckpt.name] = {"checkpoint": str(ckpt), "error": repr(exc)}
+            continue
+        finally:
+            if not keep_outputs:
+                shutil.rmtree(sweep_container, ignore_errors=True)
         best_bw = max(sorted(results), key=lambda k: results[k]["F1"])
         rows[ckpt.name] = {
             "checkpoint": str(ckpt),
             "bandwidth_index": int(best_bw),
             **{k: round(float(v), 4) for k, v in results[best_bw].items()},
         }
-        if not keep_outputs:
-            shutil.rmtree(sweep_container, ignore_errors=True)
 
-    winner = max(rows, key=lambda name: rows[name]["F1"])
+    scored = {name for name, row in rows.items() if "F1" in row}
+    if not scored:
+        raise RuntimeError(
+            f"checkpoint_sweep: every checkpoint under {ckpt_dir} failed to"
+            " score — see the per-checkpoint errors above"
+        )
+    winner = max(scored, key=lambda name: rows[name]["F1"])
     print("checkpoint sweep (best bandwidth per checkpoint):")
     for name, row in rows.items():
+        if "error" in row:
+            print(f"  {name:>18}: FAILED ({row['error']})")
+            continue
         marker = "  <- selected" if name == winner else ""
         print(
             f"  {name:>18}: " + " ".join(
@@ -210,7 +227,7 @@ def checkpoint_sweep(
                 if isinstance(v, float)
             ) + marker
         )
-    if "best_loss.ckpt" in rows and winner != "best_loss.ckpt":
+    if "best_loss.ckpt" in scored and winner != "best_loss.ckpt":
         delta = rows[winner]["F1"] - rows["best_loss.ckpt"]["F1"]
         print(
             f"  NOTE: measured selection beats best-loss selection by "
