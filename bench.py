@@ -316,17 +316,33 @@ def main():
     loss = fence(losses)
     train_secs = time.perf_counter() - t_train0
     train_sps = train_samples / max(train_secs, 1e-9)
-    med_chunk = float(np.median(chunk_secs)) if chunk_secs else float("nan")
-    train_sps_median = K * tc.batch_size / med_chunk if chunk_secs else 0.0
+    # the first two timed chunks are recorded BEFORE the depth-2 fence
+    # first fires (nothing has been popped from `inflight` yet), so their
+    # walls are pure submission walls; exclude them so a small
+    # BENCH_TRAIN_ITERS config cannot publish an unanchored median. The
+    # total-wall number is always anchored (the final fence above chains
+    # through every chunk's params).
+    anchored_secs = chunk_secs[2:]
+    med_chunk = (
+        float(np.median(anchored_secs)) if anchored_secs else float("nan")
+    )
+    train_sps_median = (
+        K * tc.batch_size / med_chunk if anchored_secs else train_sps
+    )
     train_mfu = step_flops * (train_samples / tc.batch_size) / max(
         train_secs, 1e-9
     ) / peak_flops
+    spread = (
+        f"(p10 {K * tc.batch_size / np.percentile(anchored_secs, 90):.1f} / "
+        f"p90 {K * tc.batch_size / np.percentile(anchored_secs, 10):.1f}) "
+        if anchored_secs
+        else "(too few chunks for anchored percentiles; median=total-wall) "
+    )
     log(
         f"train (streaming, incl. h2d over tunnel): {train_sps:.2f} "
         f"samples/s/chip total-wall, {train_sps_median:.2f} median-chunk "
-        f"(p10 {K * tc.batch_size / np.percentile(chunk_secs, 90):.1f} / "
-        f"p90 {K * tc.batch_size / np.percentile(chunk_secs, 10):.1f}), "
-        f"MFU {100 * train_mfu:.1f}% (loss {float(loss):.3f})"
+        + spread
+        + f"MFU {100 * train_mfu:.1f}% (loss {float(loss):.3f})"
     )
 
     # device-resident throughput: scan over pre-staged batches — the loop
