@@ -518,9 +518,10 @@ def check_3d_density_envelope(
             f"3D training with lr={lr:g} and density={density:g} "
             f"(lr*density={lr * density:.2g}) is outside the validated "
             "envelope: in the docs/validation.md lr x density grid every "
-            "cell with lr*density <= 2e-5 scores F1 >= 0.91 and every cell "
-            "above scores <= 0.52 (e.g. density 0.1 scores F1 0.48 at "
-            "lr 4e-4 but F1 1.0 at lr 1e-4). Lower train_config.learning_rate "
+            "cell with lr*density > 2e-5 scores F1 <= 0.52 (e.g. density "
+            "0.1 scores F1 0.48 at lr 4e-4 but F1 1.0 at lr 1e-4), every "
+            "cell at <= 1e-5 scores F1 >= 0.91, and the 2e-5 boundary "
+            "itself is run-to-run noisy. Lower train_config.learning_rate "
             "or train_config.density so their product is <= 1e-5, with "
             'pair_count_mode = "all_dims".',
             RuntimeWarning,
