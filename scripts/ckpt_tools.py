@@ -51,6 +51,17 @@ def strip_state(state: dict, cast_f16: bool = False) -> dict:
     return out
 
 
+def _holds_f16(ckpt_path: Path) -> bool:
+    """True when a persisted checkpoint's float params were f16-cast."""
+    import jax
+    import numpy as np
+
+    from cellulus_tpu.utils.checkpoint import load_checkpoint
+
+    leaves = jax.tree_util.tree_leaves(load_checkpoint(ckpt_path).get("params", {}))
+    return any(np.asarray(leaf).dtype == np.float16 for leaf in leaves)
+
+
 def persist(workdir: Path, final_only: bool = False) -> int:
     from cellulus_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
@@ -68,7 +79,11 @@ def persist(workdir: Path, final_only: bool = False) -> int:
     for src in srcs:
         dst = out / src.name
         if dst.exists() and dst.stat().st_mtime >= src.stat().st_mtime:
-            continue
+            # up-to-date AND at least the requested precision: a full-
+            # precision dst satisfies --final too, but an earlier --final
+            # (f16) dst must NOT satisfy a later full-precision persist
+            if final_only or not _holds_f16(dst):
+                continue
         dst.parent.mkdir(parents=True, exist_ok=True)
         save_checkpoint(dst, strip_state(load_checkpoint(src), cast_f16=final_only))
         n += 1

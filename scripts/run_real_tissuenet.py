@@ -209,7 +209,7 @@ def main():
                 "precision": "bfloat16",
                 "save_model_every": (
                     args.save_every
-                    if args.save_every
+                    if args.save_every is not None
                     else max(1000, args.iters // 2)
                 ),
                 "save_snapshot_every": 10**9,
@@ -217,7 +217,7 @@ def main():
                 **({"lr_milestones": args.lr_milestones}
                    if args.lr_milestones else {}),
                 **({"grad_clip_norm": args.grad_clip}
-                   if args.grad_clip else {}),
+                   if args.grad_clip is not None else {}),
                 **({"log_grad_norm": True} if args.log_grad_norm else {}),
                 "train_data_configs": [
                     {"container_path": str(work / "data.zarr"),
