@@ -33,7 +33,6 @@ set -u
 cd "$(dirname "$0")/.."
 RD=examples/real-data
 PAB=examples/precision_ab
-START_TS=$(date +%s)
 MAX_S=$(python3 -c "import os; print(int(float(os.environ.get('QUEUE_MAX_HOURS','3.5'))*3600))")
 
 log() { echo "[$(date +%H:%M:%S)] $*"; }
@@ -67,6 +66,8 @@ if [ -n "${WAIT_PID:-}" ]; then
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
   log "PID $WAIT_PID gone; starting"
 fi
+# deadline clock starts when the chip becomes ours, not at launch
+START_TS=$(date +%s)
 
 for wd in "$RD"/tissuenet_*; do
   [ -d "$wd/ckpt" ] && python scripts/ckpt_tools.py restore "$wd"

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--lr", type=float, default=4e-4)
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse workdir/models/best_loss.ckpt; run infer only")
+    ap.add_argument("--checkpoint", default="models/best_loss.ckpt",
+                    help="checkpoint to score, relative to the workdir "
+                         "(with --skip-train: walk a run's numbered "
+                         "checkpoints)")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--precision", default="bfloat16",
                     choices=("bfloat16", "float32"),
@@ -52,6 +56,14 @@ def main():
                          "wall time device-dominated so precision A/Bs "
                          "measure compute, not the 1-core host's elastic "
                          "workers")
+    ap.add_argument("--steps-per-dispatch", type=int, default=None,
+                    help="override the --fast bundle's steps_per_dispatch=4 "
+                         "(unbundles the K-step scan lever for protocol "
+                         "discrimination runs)")
+    ap.add_argument("--transfer-precision", default="float16",
+                    choices=("float16", "float32"),
+                    help="inference d2h embedding transfer dtype (this "
+                         "script's historical protocol is float16)")
     args = ap.parse_args()
     if args.size is None:
         args.size = 512 if args.ndim == 2 else 128
@@ -118,9 +130,16 @@ def main():
                 "initial_learning_rate": args.lr,
                 "num_workers": 4,
                 "elastic_deform": True,
-                **({"elastic_on_device": True, "steps_per_dispatch": 4,
+                **({"elastic_on_device": True,
+                    "steps_per_dispatch": (
+                        args.steps_per_dispatch
+                        if args.steps_per_dispatch is not None else 4
+                    ),
                     "device_pair_sampling": args.loss_mode == "pairs"}
                    if args.fast else {}),
+                **({"steps_per_dispatch": args.steps_per_dispatch}
+                   if args.steps_per_dispatch is not None and not args.fast
+                   else {}),
                 "precision": args.precision,
                 "save_model_every": max(500, args.iters // 2),
                 "save_snapshot_every": 10**9,
@@ -133,7 +152,7 @@ def main():
             "inference_config": {
                 "crop_size": crop,
                 "tile_batch_size": 4,
-                "transfer_precision": "float16",
+                "transfer_precision": args.transfer_precision,
                 "dataset_config": {
                     "container_path": str(container),
                     "dataset_name": "train",
@@ -181,7 +200,7 @@ def main():
     out["groundtruth"] = np.asarray(src["groundtruth"][...])
     out["groundtruth"].attrs.update(src["groundtruth"].attrs.asdict())
 
-    config.model_config.checkpoint = work / "models" / "best_loss.ckpt"
+    config.model_config.checkpoint = work / args.checkpoint
     results = cellulus_tpu.infer(config)
     print("RESULTS:", results)
     f1 = results[0]["F1"]
@@ -198,6 +217,17 @@ def main():
             "train_secs": train_secs,
             "F1": round(float(f1), 3), "SEG": round(float(seg), 3),
         }
+        # protocol-deviation fields: only stamped when they deviate, so the
+        # queue done-checks (which filter on the historical fields) keep
+        # matching only protocol-default rows
+        if args.steps_per_dispatch is not None:
+            row["steps_per_dispatch"] = args.steps_per_dispatch
+        if args.transfer_precision != "float16":
+            row["transfer_precision"] = args.transfer_precision
+        if args.skip_train:
+            row["skip_train"] = True
+        if args.checkpoint != "models/best_loss.ckpt":
+            row["checkpoint"] = args.checkpoint
         path = Path(args.results_json)
         path.parent.mkdir(parents=True, exist_ok=True)
         with path.open("a") as fh:
