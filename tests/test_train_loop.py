@@ -141,6 +141,29 @@ def test_steps_per_dispatch_pairs_mode(blob_container_2d, tmp_path, monkeypatch)
     np.testing.assert_allclose(_losses(s1), _losses(s2), rtol=1e-5)
 
 
+def test_steps_per_dispatch_key_driven_fast_path(
+    blob_container_2d, tmp_path, monkeypatch
+):
+    """K>1 parity for the composed FAST path (on-device elastic warp +
+    device pair sampling, the exact recipe scripts/validate_quality.py
+    --fast and the 3D precision A/B cells run): fused K-step scan must
+    reproduce the K=1 per-step losses bit-for-bit — both paths fold the
+    same base key with the global iteration index."""
+    monkeypatch.chdir(tmp_path)
+    base = dict(
+        max_iterations=8,
+        loss_mode="pairs",
+        elastic_deform=True,
+        elastic_on_device=True,
+        device_pair_sampling=True,
+    )
+    s1 = cellulus_tpu.train(_config(blob_container_2d, **base))
+    s4 = cellulus_tpu.train(
+        _config(blob_container_2d, steps_per_dispatch=4, **base)
+    )
+    np.testing.assert_allclose(_losses(s1), _losses(s4), rtol=1e-5)
+
+
 def test_elastic_on_device_trains(blob_container_2d, tmp_path, monkeypatch):
     """On-device elastic warp composes with the jitted step (and with
     native uint8 transfer): finite losses, deterministic under seed."""
