@@ -164,6 +164,52 @@ def test_steps_per_dispatch_key_driven_fast_path(
     np.testing.assert_allclose(_losses(s1), _losses(s4), rtol=1e-5)
 
 
+def test_steps_per_dispatch_key_driven_fast_path_3d(
+    blob_container_3d, tmp_path, monkeypatch
+):
+    """Same K>1 parity for the 3D fast path with anisotropic downsampling
+    — the exact regime where the round-4 precision A/B cells (spd=4)
+    systematically underperformed the single-step density sweep."""
+    monkeypatch.chdir(tmp_path)
+
+    def cfg(**overrides):
+        train_config = {
+            "batch_size": 2,
+            "crop_size": [26, 34, 34],
+            "kappa": 4.0,
+            "max_iterations": 6,
+            "num_workers": 1,
+            "loss_mode": "pairs",
+            "elastic_deform": True,
+            "elastic_on_device": True,
+            "device_pair_sampling": True,
+            "save_model_every": 1000,
+            "save_best_model_every": 1000,
+            "save_snapshot_every": 1000,
+            "train_data_config": {
+                "container_path": str(blob_container_3d),
+                "dataset_name": "train",
+            },
+        }
+        train_config.update(overrides)
+        return ExperimentConfig(
+            **{
+                "object_size": 8,
+                "model_config": {
+                    "num_fmaps": 8,
+                    "fmap_inc_factor": 2,
+                    "features_in_last_layer": 8,
+                    "downsampling_factors": [[1, 2, 2]],
+                },
+                "train_config": train_config,
+            }
+        )
+
+    s1 = cellulus_tpu.train(cfg())
+    s3 = cellulus_tpu.train(cfg(steps_per_dispatch=3))
+    np.testing.assert_allclose(_losses(s1), _losses(s3), rtol=1e-5)
+
+
 def test_elastic_on_device_trains(blob_container_2d, tmp_path, monkeypatch):
     """On-device elastic warp composes with the jitted step (and with
     native uint8 transfer): finite losses, deterministic under seed."""
