@@ -64,6 +64,9 @@ def main():
                     choices=("float16", "float32"),
                     help="inference d2h embedding transfer dtype (this "
                          "script's historical protocol is float16)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="train_config.seed (init + sampling streams); "
+                         "non-zero seeds drive run-to-run variance cells")
     args = ap.parse_args()
     if args.size is None:
         args.size = 512 if args.ndim == 2 else 128
@@ -140,6 +143,7 @@ def main():
                 **({"steps_per_dispatch": args.steps_per_dispatch}
                    if args.steps_per_dispatch is not None and not args.fast
                    else {}),
+                "seed": args.seed,
                 "precision": args.precision,
                 "save_model_every": max(500, args.iters // 2),
                 "save_snapshot_every": 10**9,
@@ -224,6 +228,8 @@ def main():
             row["steps_per_dispatch"] = args.steps_per_dispatch
         if args.transfer_precision != "float16":
             row["transfer_precision"] = args.transfer_precision
+        if args.seed != 0:
+            row["seed"] = args.seed
         if args.skip_train:
             row["skip_train"] = True
         if args.checkpoint != "models/best_loss.ckpt":
