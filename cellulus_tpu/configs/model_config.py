@@ -24,6 +24,13 @@ class ModelConfig:
             checkpoints are accepted (see ``cellulus_tpu.models.torch_import``).
         initialize: If True, (re-)initialize conv weights with Kaiming-normal
             (reference ``train.py:65-68``).
+        constant_upsample: [tpu extension] If True (default, and the
+            reference's hardcoded choice — reference ``models/unet.py:50``),
+            the up path uses nearest-neighbor upsampling. If False, it uses
+            a learned transposed conv with kernel = stride = the level's
+            downsampling factor (the funlib backbone's other mode), so
+            funlib checkpoints trained with ``constant_upsample=False``
+            import and run.
     """
 
     num_fmaps: int
@@ -32,6 +39,7 @@ class ModelConfig:
     downsampling_factors: List[List[int]] = field(default_factory=lambda: [[2, 2]])
     checkpoint: Optional[Path] = None
     initialize: bool = True
+    constant_upsample: bool = True
 
     def __post_init__(self) -> None:
         if not isinstance(self.num_fmaps, int):

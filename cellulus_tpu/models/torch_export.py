@@ -62,6 +62,24 @@ def params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, Any]:
                 f"backbone.r_conv.0.{l}.conv_pass.{2 * i}",
                 sd,
             )
+    if "up_tconv" in params:
+        # constant_upsample=False: transposed-conv upsample weights live
+        # under backbone.r_up.<head>.<level>.up.* in funlib naming; ours
+        # are (*K, C_in, C_out), torch ConvTranspose is (C_in, C_out, *K)
+        import numpy as np
+        import torch
+
+        for l in range(n_levels - 1):
+            tp = params["up_tconv"][f"level{l}"]
+            w = np.asarray(tp["w"])
+            k = w.ndim - 2
+            perm = (k, k + 1) + tuple(range(k))
+            sd[f"backbone.r_up.0.{l}.up.weight"] = torch.from_numpy(
+                np.ascontiguousarray(w.transpose(perm)).astype(np.float32)
+            )
+            sd[f"backbone.r_up.0.{l}.up.bias"] = torch.from_numpy(
+                np.asarray(tp["b"], dtype=np.float32).copy()
+            )
     _conv_to_torch(params["head"]["conv0"], "head.0", sd)
     _conv_to_torch(params["head"]["conv1"], "head.2", sd)
     return sd

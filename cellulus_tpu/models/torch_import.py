@@ -41,6 +41,16 @@ def _conv_to_jax(weight: np.ndarray, bias: np.ndarray) -> Dict[str, np.ndarray]:
     }
 
 
+def _tconv_to_jax(weight: np.ndarray, bias: np.ndarray) -> Dict[str, np.ndarray]:
+    # torch ConvTranspose: (C_in, C_out, *K) -> ours (*K, C_in, C_out)
+    k = weight.ndim - 2
+    perm = tuple(range(2, 2 + k)) + (0, 1)
+    return {
+        "w": np.ascontiguousarray(weight.transpose(perm)).astype(np.float32),
+        "b": bias.astype(np.float32),
+    }
+
+
 def torch_state_dict_to_params(sd: Dict[str, Any]) -> Dict[str, Any]:
     """Convert a reference ``model_state_dict`` to a cellulus-tpu params tree."""
     down_pat = re.compile(
@@ -49,10 +59,12 @@ def torch_state_dict_to_params(sd: Dict[str, Any]) -> Dict[str, Any]:
     up_pat = re.compile(
         r"backbone\.r_conv\.(\d+)\.(\d+)\.conv_pass\.(\d+)\.(weight|bias)"
     )
+    tconv_pat = re.compile(r"backbone\.r_up\.(\d+)\.(\d+)\.up\.(weight|bias)")
     head_pat = re.compile(r"head\.(\d+)\.(weight|bias)")
 
     down: Dict[int, Dict[int, dict]] = {}
     up: Dict[int, Dict[int, dict]] = {}
+    tconv: Dict[int, dict] = {}
     head: Dict[int, dict] = {}
     unrecognized = []
     for key, value in sd.items():
@@ -60,6 +72,15 @@ def torch_state_dict_to_params(sd: Dict[str, Any]) -> Dict[str, Any]:
         if m:
             lvl, idx, kind = int(m.group(1)), int(m.group(2)), m.group(3)
             down.setdefault(lvl, {}).setdefault(idx, {})[kind] = _w(value)
+            continue
+        m = tconv_pat.fullmatch(key)
+        if m:
+            # funlib built with constant_upsample=False: a transposed conv
+            # (kernel = stride = the level's factor) under r_up.<h>.<v>.up
+            h, lvl, kind = int(m.group(1)), int(m.group(2)), m.group(3)
+            if h != 0:
+                raise ValueError("multi-head UNet checkpoints are not supported")
+            tconv.setdefault(lvl, {})[kind] = _w(value)
             continue
         m = up_pat.fullmatch(key)
         if m:
@@ -80,15 +101,13 @@ def torch_state_dict_to_params(sd: Dict[str, Any]) -> Dict[str, Any]:
             continue
         unrecognized.append(key)
     if unrecognized:
-        # e.g. funlib built with constant_upsample=False stores transposed
-        # conv weights under backbone.r_up.<h>.<v>.up.*; silently dropping
-        # them would "import" a model missing its upsample weights
+        # silently dropping keys would "import" a model missing weights
         raise ValueError(
             "state_dict holds model weights the importer does not map "
             f"(first few: {sorted(unrecognized)[:4]}); refusing a partial "
             "import. Expected only backbone.l_conv.*/backbone.r_conv.0.*/"
-            "head.* (funlib UNet with constant_upsample=True, as the "
-            "reference constructs it — cellulus/models/unet.py:24-51)"
+            "backbone.r_up.0.*.up.*/head.* (funlib UNet as the reference "
+            "constructs it — cellulus/models/unet.py:24-51)"
         )
     if not down or not head:
         raise ValueError(
@@ -148,6 +167,48 @@ def torch_state_dict_to_params(sd: Dict[str, Any]) -> Dict[str, Any]:
             f"found {len(params['up'])} up-path conv passes, expected "
             f"{len(ordered) - 1}"
         )
+
+    if tconv:
+        # constant_upsample=False: one transposed conv per up level, mapping
+        # level_channels[lv+1] -> level_channels[lv+1] with kernel = stride =
+        # the level's downsampling factor. Identify levels by input channel
+        # count (weight shape (C_in, C_out, *K)); degenerate channel counts
+        # (fmap_inc_factor == 1) fall back to the positional pairing, same
+        # as the up conv passes.
+        if len(tconv) != len(ordered) - 1:
+            raise ValueError(
+                f"found {len(tconv)} transposed-conv upsample levels, "
+                f"expected {len(ordered) - 1}"
+            )
+        expected_tconv_in = {
+            lv: level_channels[lv + 1] for lv in range(len(ordered) - 1)
+        }
+        tconv_order = sorted(tconv)
+        if not top_first:
+            tconv_order = list(reversed(tconv_order))
+        params["up_tconv"] = {}
+        for torch_lvl, wb in tconv.items():
+            if "weight" not in wb or "bias" not in wb:
+                raise ValueError(
+                    f"r_up.0.{torch_lvl}.up is missing weight or bias"
+                )
+            c_in = wb["weight"].shape[0]
+            matches = [
+                lv for lv, ci in expected_tconv_in.items() if ci == c_in
+            ]
+            if len(matches) == 1:
+                my_lvl = matches[0]
+            elif len(matches) > 1 and len(set(expected_tconv_in.values())) == 1:
+                my_lvl = tconv_order.index(torch_lvl)
+            else:
+                raise ValueError(
+                    f"cannot identify upsample level for r_up.0.{torch_lvl} "
+                    f"(input channels {c_in}, expected one of "
+                    f"{expected_tconv_in})"
+                )
+            params["up_tconv"][f"level{my_lvl}"] = _tconv_to_jax(
+                wb["weight"], wb["bias"]
+            )
 
     head_keys = sorted(head)
     if len(head_keys) != 2:

@@ -41,6 +41,10 @@ class UNetSpec:
     features_in_last_layer: int
     downsampling_factors: Tuple[Tuple[int, ...], ...]
     num_spatial_dims: int
+    # True = nearest-neighbor upsampling (the reference's hardcoded choice,
+    # reference models/unet.py:50); False = learned transposed conv with
+    # kernel = stride = the level's factor (the funlib backbone's other mode)
+    constant_upsample: bool = True
 
     def __post_init__(self):
         object.__setattr__(
@@ -72,6 +76,7 @@ def spec_from_config(model_config, in_channels: int, num_spatial_dims: int) -> U
             tuple(f) for f in model_config.downsampling_factors
         ),
         num_spatial_dims=num_spatial_dims,
+        constant_upsample=getattr(model_config, "constant_upsample", True),
     )
 
 
@@ -145,14 +150,24 @@ def init_params(key, spec: UNetSpec, scheme: str = "kaiming_normal") -> Params:
         )
         c_prev = c_out
 
+    if not spec.constant_upsample:
+        params["up_tconv"] = {}
     for idx, level in enumerate(reversed(range(n_up))):
         c_skip = spec.level_channels(level)
         c_up = spec.level_channels(level + 1)
         c_out = (
             spec.features_in_last_layer if level == 0 else spec.level_channels(level)
         )
+        up_key = keys[n_down + idx]
+        if not spec.constant_upsample:
+            up_key, tkey = jax.random.split(up_key)
+            # funlib's transposed conv maps c_up -> c_up with
+            # kernel = stride = the level's downsampling factor
+            params["up_tconv"][f"level{level}"] = _init_conv(
+                tkey, spec.downsampling_factors[level], c_up, c_up, scheme
+            )
         params["up"][f"level{level}"] = _init_conv_pass(
-            keys[n_down + idx], spec, c_skip + c_up, c_out, scheme
+            up_key, spec, c_skip + c_up, c_out, scheme
         )
 
     fil = spec.features_in_last_layer
@@ -233,6 +248,41 @@ def _upsample_nearest(x: jnp.ndarray, factor: Tuple[int, ...]) -> jnp.ndarray:
     return x
 
 
+def _upsample_tconv(
+    x: jnp.ndarray, p: Params, factor: Tuple[int, ...], compute_dtype
+) -> jnp.ndarray:
+    """Learned transposed-conv upsampling with kernel = stride = ``factor``.
+
+    Because kernel == stride, output blocks never overlap: each input pixel
+    expands into an independent ``prod(factor)``-pixel block via one channel
+    matmul — an MXU-shaped einsum + reshape instead of ``conv_transpose``
+    (torch ConvTranspose semantics with kernel=stride:
+    ``out[n, i*f+di, ..., co] = b[co] + sum_ci in[n, i, ..., ci] *
+    w[ci, co, di, ...]``).
+    """
+    ndim = len(factor)
+    w = p["w"].astype(compute_dtype)  # (*factor, C_in, C_out)
+    b = p["b"].astype(compute_dtype)
+    c_in, c_out = w.shape[-2], w.shape[-1]
+    blk = int(np.prod(factor))
+    wf = w.reshape((blk, c_in, c_out))
+    y = jnp.einsum("...i,fio->...fo", x.astype(compute_dtype), wf)
+    batch = x.shape[0]
+    spatial = x.shape[1:-1]
+    y = y.reshape((batch, *spatial, *factor, c_out))
+    # interleave each block dim with its spatial dim:
+    # (B, s0, ..., s{n-1}, f0, ..., f{n-1}, C) -> (B, s0, f0, ..., C)
+    perm = [0]
+    for d in range(ndim):
+        perm += [1 + d, 1 + ndim + d]
+    perm.append(1 + 2 * ndim)
+    y = y.transpose(perm)
+    y = y.reshape(
+        (batch, *[s * f for s, f in zip(spatial, factor)], c_out)
+    )
+    return y + b
+
+
 def _center_crop(x: jnp.ndarray, target_spatial: Tuple[int, ...]) -> jnp.ndarray:
     slices = [slice(None)]
     for size, target in zip(x.shape[1:-1], target_spatial):
@@ -306,8 +356,29 @@ def forward(
         x, params["down"][f"level{spec.num_levels - 1}"], ndim, compute_dtype
     )
 
+    if not spec.constant_upsample and "up_tconv" not in params:
+        raise ValueError(
+            "spec has constant_upsample=False but params carry no "
+            "'up_tconv' weights — the checkpoint was trained with "
+            "nearest-neighbor upsampling (set constant_upsample = true)"
+        )
+    if spec.constant_upsample and "up_tconv" in params:
+        raise ValueError(
+            "params carry 'up_tconv' (transposed-conv upsample) weights but "
+            "spec has constant_upsample=True — running would silently ignore "
+            "the checkpoint's upsample weights (set constant_upsample = "
+            "false)"
+        )
     for level in reversed(range(spec.num_levels - 1)):
-        x = _upsample_nearest(x, spec.downsampling_factors[level])
+        if spec.constant_upsample:
+            x = _upsample_nearest(x, spec.downsampling_factors[level])
+        else:
+            x = _upsample_tconv(
+                x,
+                params["up_tconv"][f"level{level}"],
+                spec.downsampling_factors[level],
+                compute_dtype,
+            )
         skip = _center_crop(skips[level], x.shape[1:-1])
         x = jnp.concatenate([skip, x], axis=-1)
         x = pass_fn(x, params["up"][f"level{level}"], ndim, compute_dtype)
@@ -353,6 +424,14 @@ def model_flops(spec: UNetSpec, input_spatial: Sequence[int]) -> int:
     x = conv_pass(x, c_prev, spec.level_channels(spec.num_levels - 1))
 
     for level in reversed(range(spec.num_levels - 1)):
+        if not spec.constant_upsample:
+            c_up_t = spec.level_channels(level + 1)
+            # per input pixel: prod(factor) output pixels x C^2 MACs
+            flops += (
+                2 * math.prod(x)
+                * math.prod(spec.downsampling_factors[level])
+                * c_up_t * c_up_t
+            )
         x = [s * f for s, f in zip(x, spec.downsampling_factors[level])]
         c_skip = spec.level_channels(level)
         c_up = spec.level_channels(level + 1)

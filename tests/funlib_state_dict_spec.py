@@ -51,8 +51,16 @@ def expected_funlib_keys(
     features_in_last_layer: int,
     downsampling_factors: List[Tuple[int, ...]],
     num_spatial_dims: int,
+    constant_upsample: bool = True,
 ) -> Dict[str, Tuple[int, ...]]:
-    """Key -> weight/bias shape for ``UNetModel(...).state_dict()``."""
+    """Key -> weight/bias shape for ``UNetModel(...).state_dict()``.
+
+    With ``constant_upsample=False``, funlib's ``Upsample`` holds a
+    ``ConvTranspose`` at ``r_up.<h>.<v>.up`` with in = out = the
+    level-``v+1`` channel count and kernel = stride = the level's
+    downsampling factor; torch ConvTranspose weights are shaped
+    ``(C_in, C_out, *K)``.
+    """
     L = len(downsampling_factors)
     chans = [num_fmaps * fmap_inc_factor**v for v in range(L + 1)]
     out: Dict[str, Tuple[int, ...]] = {}
@@ -71,6 +79,12 @@ def expected_funlib_keys(
         conv_pass(f"backbone.l_conv.{v}", c_prev, chans[v])
         c_prev = chans[v]
     for v in range(L):
+        if not constant_upsample:
+            c_up = chans[v + 1]
+            out[f"backbone.r_up.0.{v}.up.weight"] = (c_up, c_up) + tuple(
+                downsampling_factors[v]
+            )
+            out[f"backbone.r_up.0.{v}.up.bias"] = (c_up,)
         conv_pass(
             f"backbone.r_conv.0.{v}",
             chans[v] + chans[v + 1],

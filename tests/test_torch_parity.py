@@ -11,10 +11,18 @@ from cellulus_tpu.models.torch_import import torch_state_dict_to_params
 from tests.torch_reference import TorchOCEModel, copy_jax_params_to_torch
 
 
-def _build_pair(ndim=2, factors=((2, 2),), num_fmaps=8, inc=2, fil=16):
-    spec = UNetSpec(1, ndim, num_fmaps, inc, fil, tuple(factors), ndim)
+def _build_pair(
+    ndim=2, factors=((2, 2),), num_fmaps=8, inc=2, fil=16, constant_upsample=True
+):
+    spec = UNetSpec(
+        1, ndim, num_fmaps, inc, fil, tuple(factors), ndim,
+        constant_upsample=constant_upsample,
+    )
     params = init_params(jax.random.PRNGKey(0), spec)
-    model = TorchOCEModel(1, ndim, num_fmaps, inc, fil, list(factors), ndim)
+    model = TorchOCEModel(
+        1, ndim, num_fmaps, inc, fil, list(factors), ndim,
+        constant_upsample=constant_upsample,
+    )
     copy_jax_params_to_torch(params, model)
     model.eval()
     return spec, params, model
@@ -151,16 +159,94 @@ def test_torch_import_adversarial_architectures(tmp_path, ndim, factors, inc):
     )
 
 
-def test_torch_import_refuses_transposed_conv_upsample():
-    """funlib with constant_upsample=False stores transposed-conv weights
-    under backbone.r_up.*; a partial import (dropping them) would be
-    silently wrong — the importer must refuse."""
+@pytest.mark.parametrize(
+    "ndim,factors,inc,size",
+    [
+        (2, ((2, 2), (2, 2)), 2, 76),    # growing channels
+        (3, ((1, 2, 2),), 2, 36),        # anisotropic 3D
+        (2, ((2, 2), (2, 2)), 1, 76),    # inc=1: positional tconv mapping
+    ],
+)
+def test_transposed_conv_forward_matches_torch(ndim, factors, inc, size):
+    """constant_upsample=False: our block-matmul transposed-conv upsample
+    must match torch ConvTranspose semantics (kernel = stride = factor)
+    end-to-end through the U-Net."""
+    spec, params, model = _build_pair(
+        ndim=ndim, factors=factors, num_fmaps=4, inc=inc, fil=8,
+        constant_upsample=False,
+    )
+    assert "up_tconv" in params
+    rng = np.random.default_rng(0)
+    if ndim == 3:
+        shape = (2, 1, 28, size, size)
+    else:
+        shape = (2, 1, size, size)
+    x = rng.normal(size=shape).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+    mine = forward(spec, params, jnp.asarray(np.moveaxis(x, 1, -1)))
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(mine), -1, 1), ref, atol=3e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize("inc", [2, 1])
+def test_transposed_conv_checkpoint_roundtrip(tmp_path, inc):
+    """A funlib constant_upsample=False checkpoint imports exactly
+    (leaf-for-leaf) and exports back to an identical state_dict."""
+    spec, params, model = _build_pair(
+        factors=((2, 2), (2, 2)), num_fmaps=4, inc=inc, fil=8,
+        constant_upsample=False,
+    )
+    from tests.funlib_state_dict_spec import expected_funlib_keys
+
+    got = {k: tuple(v.shape) for k, v in model.state_dict().items()}
+    want = expected_funlib_keys(
+        1, 2, 4, inc, 8, [(2, 2), (2, 2)], 2, constant_upsample=False
+    )
+    assert got == want
+
+    imported = torch_state_dict_to_params(
+        {k: v.numpy() for k, v in model.state_dict().items()}
+    )
+    for a, b in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(imported)[0],
+    ):
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    from cellulus_tpu.models.torch_export import params_to_torch_state_dict
+
+    exported = params_to_torch_state_dict(params)
+    assert set(exported) == set(got)
+    for k, v in exported.items():
+        np.testing.assert_array_equal(v.numpy(), model.state_dict()[k].numpy())
+
+
+def test_torch_import_refuses_multi_head_upsample():
+    """Multi-head funlib UNets (num_heads > 1) are out of scope; the
+    importer must refuse rather than mis-assign r_up.1.* weights."""
     _, _, model = _build_pair()
     sd = dict(model.state_dict())
-    sd["backbone.r_up.0.0.up.weight"] = np.zeros((16, 8, 2, 2), np.float32)
-    sd["backbone.r_up.0.0.up.bias"] = np.zeros((8,), np.float32)
-    with pytest.raises(ValueError, match="r_up"):
+    sd["backbone.r_up.1.0.up.weight"] = np.zeros((16, 16, 2, 2), np.float32)
+    sd["backbone.r_up.1.0.up.bias"] = np.zeros((16,), np.float32)
+    with pytest.raises(ValueError, match="multi-head"):
         torch_state_dict_to_params(sd)
+
+
+def test_upsample_mode_mismatch_raises():
+    """spec/params upsample-mode disagreement must fail loudly both ways
+    (silently ignoring imported tconv weights would be wrong)."""
+    spec_t, params_t, _ = _build_pair(
+        num_fmaps=4, fil=8, constant_upsample=False
+    )
+    spec_n, params_n, _ = _build_pair(num_fmaps=4, fil=8)
+    x = jnp.zeros((1, 28, 28, 1), np.float32)
+    with pytest.raises(ValueError, match="constant_upsample"):
+        forward(spec_t, params_n, x)
+    with pytest.raises(ValueError, match="constant_upsample"):
+        forward(spec_n, params_t, x)
 
 
 def test_torch_export_roundtrip(tmp_path):

@@ -41,11 +41,34 @@ class _ConvPass(nn.Module):
         return self.conv_pass(x)
 
 
+class _Upsample(nn.Module):
+    """funlib's transposed-conv Upsample: ``.up`` is a ConvTranspose with
+    in = out channels and kernel = stride = the level's factor."""
+
+    def __init__(self, ndim, channels, factor):
+        super().__init__()
+        tconv = nn.ConvTranspose2d if ndim == 2 else nn.ConvTranspose3d
+        self.up = tconv(channels, channels, kernel_size=factor, stride=factor)
+
+    def forward(self, x):
+        return self.up(x)
+
+
 class _Backbone(nn.Module):
-    def __init__(self, ndim, in_channels, num_fmaps, inc, factors, num_fmaps_out):
+    def __init__(
+        self,
+        ndim,
+        in_channels,
+        num_fmaps,
+        inc,
+        factors,
+        num_fmaps_out,
+        constant_upsample=True,
+    ):
         super().__init__()
         self.ndim = ndim
         self.factors = [tuple(f) for f in factors]
+        self.constant_upsample = constant_upsample
         L = len(factors)
         chans = [num_fmaps * inc**l for l in range(L + 1)]
         self.l_conv = nn.ModuleList()
@@ -53,6 +76,17 @@ class _Backbone(nn.Module):
         for l in range(L + 1):
             self.l_conv.append(_ConvPass(ndim, c_prev, chans[l]))
             c_prev = chans[l]
+        if not constant_upsample:
+            self.r_up = nn.ModuleList(
+                [
+                    nn.ModuleList(
+                        [
+                            _Upsample(ndim, chans[l + 1], self.factors[l])
+                            for l in range(L)
+                        ]
+                    )
+                ]
+            )
         self.r_conv = nn.ModuleList(
             [
                 nn.ModuleList(
@@ -76,8 +110,11 @@ class _Backbone(nn.Module):
             x = _pool_nd(self.ndim)(self.factors[l])(x)
         x = self.l_conv[len(self.factors)](x)
         for l in reversed(range(len(self.factors))):
-            for axis, f in enumerate(self.factors[l]):
-                x = x.repeat_interleave(f, dim=2 + axis)
+            if self.constant_upsample:
+                for axis, f in enumerate(self.factors[l]):
+                    x = x.repeat_interleave(f, dim=2 + axis)
+            else:
+                x = self.r_up[0][l](x)
             skip = skips[l]
             crops = [
                 (s - t) // 2
@@ -103,6 +140,7 @@ class TorchOCEModel(nn.Module):
         features_in_last_layer: int,
         downsampling_factors: List[Tuple[int, ...]],
         num_spatial_dims: int,
+        constant_upsample: bool = True,
     ):
         super().__init__()
         self.backbone = _Backbone(
@@ -112,6 +150,7 @@ class TorchOCEModel(nn.Module):
             fmap_inc_factor,
             downsampling_factors,
             features_in_last_layer,
+            constant_upsample=constant_upsample,
         )
         conv = _conv_nd(num_spatial_dims)
         self.head = nn.Sequential(
@@ -142,6 +181,17 @@ def copy_jax_params_to_torch(params, model: TorchOCEModel) -> None:
         seq = model.backbone.l_conv[l].conv_pass
         for i in range(4):
             to_torch(pass_params[f"conv{i}"], seq[2 * i])
+    if "up_tconv" in params:
+        for l in range(L):
+            tp = params["up_tconv"][f"level{l}"]
+            w = np.asarray(tp["w"])  # (*K, C_in, C_out) -> (C_in, C_out, *K)
+            k = w.ndim - 2
+            perm = (k, k + 1) + tuple(range(k))
+            tconv = model.backbone.r_up[0][l].up
+            tconv.weight.data = torch.from_numpy(
+                np.ascontiguousarray(w.transpose(perm))
+            )
+            tconv.bias.data = torch.from_numpy(np.array(tp["b"], copy=True))
     for l in range(L):
         pass_params = params["up"][f"level{l}"]
         seq = model.backbone.r_conv[0][l].conv_pass
