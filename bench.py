@@ -61,6 +61,47 @@ def fence(x) -> float:
     return float(np.asarray(x).ravel()[-1])
 
 
+def _device_floor_rep(run_stages, out_container, n_tiles: int, tag: str):
+    """One extra (untimed-for-headline) staged rep with per-stage device
+    timers on: every jitted stage dispatch is individually fenced and its
+    dispatch-to-completion time accumulated (utils/profiling.time_device).
+    The sums are a transfer-independent device-time e2e floor — the wall
+    numbers above ride the tunnel's >2x d2h jitter; these don't."""
+    import shutil
+
+    from cellulus_tpu.utils import profiling
+
+    os.environ["CELLULUS_TPU_DEVICE_TIMERS"] = "1"
+    profiling.reset_perf()
+    try:
+        if out_container.exists():
+            shutil.rmtree(out_container)
+        run_stages()
+        rep = profiling.perf_report()
+    finally:
+        os.environ.pop("CELLULUS_TPU_DEVICE_TIMERS", None)
+        profiling.reset_perf()
+    sums = {
+        stage: round(rep.get(f"{stage}.device", {}).get("seconds", 0.0), 3)
+        for stage in ("predict", "detect", "segment")
+    }
+    total_dev = sum(sums.values())
+    floor_tps = n_tiles / total_dev if total_dev > 0 else None
+    log(
+        f"{tag} device-time floor: predict {sums['predict']:.2f}s + detect "
+        f"{sums['detect']:.2f}s + segment {sums['segment']:.2f}s = "
+        f"{total_dev:.2f}s -> {floor_tps if floor_tps is None else round(floor_tps, 2)} tiles/s"
+    )
+    return {
+        f"{tag}_device_s_predict": sums["predict"],
+        f"{tag}_device_s_detect": sums["detect"],
+        f"{tag}_device_s_segment": sums["segment"],
+        f"{tag}_infer_tiles_per_sec_device_floor": (
+            round(floor_tps, 3) if floor_tps else None
+        ),
+    }
+
+
 def probe_device(timeout_s: float, platform: str | None = None):
     """Check that the JAX backend can initialize, in a SUBPROCESS.
 
@@ -613,6 +654,16 @@ def main():
         f"infer (staged, best of {REPS}): {tiles_per_sec:.2f} tiles/s "
         f"(median {staged_median:.2f})"
     )
+    device_stage_s = _device_floor_rep(
+        lambda: (
+            predict_stage(spec, params, ic, 1.0 / 255, jnp.bfloat16),
+            detect_stage(ic),
+            segment_stage(ic),
+        ),
+        out_container,
+        n_tiles,
+        "2d",
+    )
     embeddings_all = [
         np.asarray(zarr.open(out_container, "r")["embeddings"][s], np.float32)
         for s in range(NUM_SAMPLES)
@@ -729,6 +780,7 @@ def main():
                 "train_samples_per_sec_chip_elastic": (
                     round(el_sps, 2) if el_sps is not None else None
                 ),
+                **device_stage_s,
                 **metrics_3d,
             }
         )
@@ -928,8 +980,19 @@ def bench_3d(work, peak_flops):
         if rep > 0:
             reps.append(total)
     best = min(reps)
+    device_stage_s = _device_floor_rep(
+        lambda: (
+            predict_stage(spec, params, ic, 1.0 / 255, jnp.bfloat16),
+            detect_stage(ic),
+            segment_stage(ic),
+        ),
+        out_container,
+        n_tiles,
+        "3d",
+    )
     return {
         "3d_infer_tiles_per_sec_e2e": round(n_tiles / best, 3),
+        **device_stage_s,
         "3d_infer_tiles_per_sec_median": round(
             n_tiles / float(np.median(reps)), 3
         ),

@@ -199,7 +199,11 @@ def _meanshift_detect_device(
         while Np_pad % chunk_pred:
             chunk_pred //= 2
 
-        det = _detect_kernel(ic.mean_shift_max_iterations, chunk_fit, chunk_pred)(
+        from .utils.profiling import time_device
+
+        det = time_device(
+            "detect.device",
+            _detect_kernel(ic.mean_shift_max_iterations, chunk_fit, chunk_pred),
             X_fit,
             jnp.asarray(fit_valid),
             jnp.asarray(seeds_pad),

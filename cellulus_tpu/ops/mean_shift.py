@@ -303,7 +303,11 @@ def mean_shift_fit_predict(
     while Np_pad % chunk_p:
         chunk_p //= 2
 
-    labels_u16 = _fit_predict_kernel(
+    from ..utils.profiling import time_device
+
+    labels_u16 = time_device(
+        "detect.device",
+        _fit_predict_kernel,
         jnp.asarray(_pad_rows(X_fit, N_pad)),
         jnp.asarray(_pad_rows(np.ones(len(X_fit), bool), N_pad)),
         jnp.asarray(_pad_rows(seeds, S_pad)),
@@ -385,7 +389,11 @@ def mean_shift_sweep_fit_predict(
     sweep = _sweep_kernel(
         max_iter, chunk, chunk_p, mesh if sharded else None
     )
-    labels_u16 = sweep(X_pad, x_valid, seeds_j, sv_j, X_all, bw_j)
+    from ..utils.profiling import time_device
+
+    labels_u16 = time_device(
+        "detect.device", sweep, X_pad, x_valid, seeds_j, sv_j, X_all, bw_j
+    )
     return np.asarray(labels_u16[:, :n]).astype(np.int32) - 1
 
 

@@ -155,7 +155,11 @@ def nucleus_partition_device(
     if max_id == 0:
         return np.zeros_like(segmentation)
     num_ids_pad = _next_pow2(max(max_id + 1, 8))
-    out = _nucleus_kernel(segmentation.shape, num_ids_pad)(
+    from ..utils.profiling import time_device
+
+    out = time_device(
+        "segment.device",
+        _nucleus_kernel(segmentation.shape, num_ids_pad),
         jnp.asarray(np.ascontiguousarray(segmentation), jnp.int32),
         jnp.asarray(np.ascontiguousarray(raw_image), jnp.float32),
     )

@@ -30,6 +30,7 @@ from .io import DatasetMetaData, zarr
 from .io.regions import read_reflect_region
 from .models import UNetSpec, compute_geometry, tta_embeddings
 from .datasets import normalization_factor_for
+from .utils.profiling import time_device
 
 
 @lru_cache(maxsize=None)
@@ -188,7 +189,9 @@ def predict_sample(
         params = jax.device_put(params, replicated_sharding(mesh))
 
         def run_batch(tiles, keys):
-            return tta_fn(
+            return time_device(
+                "predict.device",
+                tta_fn,
                 params,
                 jax.device_put(tiles, tile_sh),
                 jax.device_put(keys, tile_sh),
@@ -198,7 +201,7 @@ def predict_sample(
 
         def run_batch(tiles, keys):
             # tiles: (T, *in_tile, C) channels-last
-            return tta_fn(params, tiles, keys)
+            return time_device("predict.device", tta_fn, params, tiles, keys)
 
     result = (
         None

@@ -124,9 +124,15 @@ def cell_segment_sample(
                 "65535 would alias after the device-kernel cast"
             )
     seg = np.ascontiguousarray(segmentation, dtype=np.uint16)
-    labels = _cell_segment_kernel(
-        float(grow_distance), float(shrink_distance), int(min_size)
-    )(seg)
+    from .utils.profiling import time_device
+
+    labels = time_device(
+        "segment.device",
+        _cell_segment_kernel(
+            float(grow_distance), float(shrink_distance), int(min_size)
+        ),
+        seg,
+    )
     return np.asarray(labels).astype(segmentation.dtype)
 
 

@@ -48,6 +48,43 @@ def reset_perf() -> None:
     _STAGES.clear()
 
 
+def device_timers_enabled() -> bool:
+    """CELLULUS_TPU_DEVICE_TIMERS=1 turns :func:`time_device` on."""
+    from .env import env_flag
+
+    return env_flag("CELLULUS_TPU_DEVICE_TIMERS")
+
+
+def time_device(name: str, fn, *args, **kwargs):
+    """Call ``fn(*args, **kwargs)`` and, when CELLULUS_TPU_DEVICE_TIMERS is
+    set, accumulate its dispatch-to-completion time under stage ``name``.
+
+    Measures from dispatch until ``jax.block_until_ready`` on the result:
+    device compute plus any host-to-device upload of host-resident
+    arguments, but NOT the bulk device-to-host fetch of the result (the
+    caller's ``np.asarray`` does that) and not the caller's host prep. The
+    per-stage sums give a transfer-independent device-time floor for the
+    e2e pipeline (bench.py reports them next to wall time, where tunnel
+    d2h jitter dominates run-to-run spread).
+
+    Off (the default), this is a zero-overhead passthrough — no added
+    synchronization, so pipelined/double-buffered callers keep their
+    overlap.
+    """
+    if not device_timers_enabled():
+        return fn(*args, **kwargs)
+    import jax
+
+    t0 = time.perf_counter()
+    out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    entry = _STAGES.setdefault(name, {"seconds": 0.0, "items": 0.0})
+    entry["seconds"] += dt
+    entry["items"] += 1
+    return out
+
+
 @contextlib.contextmanager
 def maybe_trace():
     """Capture a jax.profiler trace when CELLULUS_TPU_PROFILE is set."""
