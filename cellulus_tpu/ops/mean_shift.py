@@ -45,20 +45,15 @@ def bin_seeds(X: np.ndarray, bin_size: float, min_bin_freq: int = 1) -> np.ndarr
     return (uniq[counts >= min_bin_freq] * bin_size).astype(X.dtype)
 
 
-def _fit_impl(
-    X: jnp.ndarray,  # (N, d) zero-padded
-    x_valid: jnp.ndarray,  # (N,) bool
-    seeds: jnp.ndarray,  # (S, d) zero-padded
-    s_valid: jnp.ndarray,  # (S,) bool
-    bandwidth: jnp.ndarray,  # scalar
-    max_iter: int,
-    chunk: int,
-    use_pallas: bool = False,
-):
+def _make_ball_stats(X, x_valid, chunk, bw2, S, use_pallas=False):
+    """Build ``ball_stats(centers) -> (counts, sums)`` over the fixed point
+    set ``X``: per-center population and coordinate sum of valid points with
+    ``dist <= bandwidth``. The N-chunked accumulation order is a function of
+    ``chunk`` ONLY, so two callers with the same ``chunk`` produce
+    bit-identical per-seed results regardless of how many seeds they carry
+    (what makes phased seed compaction exact)."""
     N, d = X.shape
-    S = seeds.shape[0]
     n_chunks = N // chunk
-    bw2 = bandwidth * bandwidth
     x_norm2 = jnp.sum(X * X, axis=1)  # (N,)
 
     if use_pallas:
@@ -74,7 +69,6 @@ def _fit_impl(
     else:
 
         def ball_stats(centers):
-            """counts (S,), sums (S, d) of valid points with dist <= bw."""
             c_norm2 = jnp.sum(centers * centers, axis=1)  # (S,)
 
             def body(i, acc):
@@ -103,29 +97,154 @@ def _fit_impl(
             sums0 = jnp.zeros((S, d), jnp.float32)
             return jax.lax.fori_loop(0, n_chunks, body, (counts0, sums0))
 
-    stop_thresh = 1e-3 * bandwidth
+    return ball_stats
 
-    def cond(state):
-        centers, n_final, frozen, it = state
-        return (it < max_iter) & ~jnp.all(frozen)
+
+def _make_step(ball_stats, stop_thresh, max_iter, cycle_shortcut):
+    """One mean-shift iteration over state ``(centers, prev, n_final,
+    frozen, halted, it)``.
+
+    ``frozen`` = converged/empty (ball population recorded at freeze, like
+    before). ``halted`` additionally includes seeds caught in an EXACT
+    period-2 oscillation: flat-kernel mean shift 2-cycles (measured: 73 %
+    of the 3D bin seeds at bench scale never satisfy the shift threshold
+    and run to max_iter). Once ``c_{t+1} == c_{t-1}`` bitwise, the
+    trajectory repeats deterministically, so the position after the
+    remaining ``max_iter - (t+1)`` iterations is whichever cycle phase has
+    matching parity — the seed is moved there immediately and halted.
+    Halted-but-not-frozen seeds take the existing recount path (population
+    measured at the final position), exactly like the un-shortcut loop's
+    ran-to-max_iter seeds. Results are bit-identical; only the exit
+    iteration changes.
+    """
 
     def step(state):
-        centers, n_final, frozen, it = state
+        centers, prev, n_final, frozen, halted, it = state
         counts, sums = ball_stats(centers)
         means = sums / jnp.maximum(counts, 1.0)[:, None]
         empty = counts == 0
         shift = jnp.linalg.norm(means - centers, axis=1)
         newly_done = empty | (shift < stop_thresh)
         new_centers = jnp.where(
-            (frozen | empty)[:, None], centers, means
+            (halted | empty)[:, None], centers, means
         )
+        if cycle_shortcut:
+            cycle = (
+                jnp.all(new_centers == prev, axis=1)
+                & ~halted
+                & ~newly_done
+            )
+            remaining = max_iter - (it + 1)
+            final_pos = jnp.where(
+                (remaining % 2 == 0)[..., None], new_centers, centers
+            )
+            new_centers = jnp.where(cycle[:, None], final_pos, new_centers)
+        else:
+            cycle = jnp.zeros_like(newly_done)
         n_final = jnp.where(frozen, n_final, counts)
         frozen = frozen | newly_done
-        return new_centers, n_final, frozen, it + 1
+        halted = halted | newly_done | cycle
+        return new_centers, centers, n_final, frozen, halted, it + 1
+
+    return step
+
+
+def _evolve_impl(
+    X: jnp.ndarray,  # (N, d) zero-padded
+    x_valid: jnp.ndarray,  # (N,) bool
+    centers: jnp.ndarray,  # (S, d) current seed positions
+    prev: jnp.ndarray,  # (S, d) positions one iteration back (inf at start)
+    n_final: jnp.ndarray,  # (S,) ball population recorded at freeze
+    frozen: jnp.ndarray,  # (S,) bool
+    halted: jnp.ndarray,  # (S,) bool (frozen | cycled)
+    it0: jnp.ndarray,  # scalar int32: iterations already taken
+    bandwidth: jnp.ndarray,
+    phase_iters: int,
+    max_iter: int,
+    chunk: int,
+    cycle_shortcut: bool = True,
+):
+    """Advance all live seeds by up to ``phase_iters`` mean-shift
+    iterations (bounded by ``max_iter`` total). The host-driven phased fit
+    (``_fit_phased``) calls this, compacting halted seeds away between
+    phases — exact because seed trajectories are independent and ``chunk``
+    stays fixed across phases."""
+    S = centers.shape[0]
+    ball_stats = _make_ball_stats(
+        X, x_valid, chunk, bandwidth * bandwidth, S
+    )
+    step = _make_step(
+        ball_stats, 1e-3 * bandwidth, max_iter, cycle_shortcut
+    )
+    limit = jnp.minimum(it0 + phase_iters, max_iter)
+
+    def cond(state):
+        return (state[-1] < limit) & ~jnp.all(state[4])
+
+    return jax.lax.while_loop(
+        cond, step, (centers, prev, n_final, frozen, halted, it0)
+    )
+
+
+_evolve_kernel = jax.jit(
+    _evolve_impl,
+    static_argnames=("phase_iters", "max_iter", "chunk", "cycle_shortcut"),
+)
+
+
+def _fit_impl(
+    X: jnp.ndarray,  # (N, d) zero-padded
+    x_valid: jnp.ndarray,  # (N,) bool
+    seeds: jnp.ndarray,  # (S, d) zero-padded
+    s_valid: jnp.ndarray,  # (S,) bool
+    bandwidth: jnp.ndarray,  # scalar
+    max_iter: int,
+    chunk: int,
+    use_pallas: bool = False,
+    cycle_shortcut: bool = True,
+):
+    N, d = X.shape
+    S = seeds.shape[0]
+    bw2 = bandwidth * bandwidth
+    ball_stats = _make_ball_stats(X, x_valid, chunk, bw2, S, use_pallas)
+    step = _make_step(ball_stats, 1e-3 * bandwidth, max_iter, cycle_shortcut)
+
+    def cond(state):
+        return (state[-1] < max_iter) & ~jnp.all(state[4])
 
     frozen0 = ~s_valid
-    init = (seeds, jnp.zeros((S,), jnp.float32), frozen0, jnp.int32(0))
-    centers, n_final, frozen, _ = jax.lax.while_loop(cond, step, init)
+    init = (
+        seeds,
+        jnp.full_like(seeds, jnp.inf),  # prev: no position one back yet
+        jnp.zeros((S,), jnp.float32),
+        frozen0,
+        frozen0,
+        jnp.int32(0),
+    )
+    centers, _, n_final, frozen, _, _ = jax.lax.while_loop(cond, step, init)
+
+    return _finalize_impl(
+        X, x_valid, centers, n_final, frozen, s_valid, bandwidth, chunk,
+        use_pallas,
+    )
+
+
+def _finalize_impl(
+    X: jnp.ndarray,
+    x_valid: jnp.ndarray,
+    centers: jnp.ndarray,  # (S, d) converged/frozen positions
+    n_final: jnp.ndarray,  # (S,) population recorded at freeze
+    frozen: jnp.ndarray,  # (S,) bool
+    s_valid: jnp.ndarray,  # (S,) bool
+    bandwidth: jnp.ndarray,
+    chunk: int,
+    use_pallas: bool = False,
+):
+    """Recount + sklearn dedupe on the full seed set (shared by the
+    monolithic fit and the phased fit)."""
+    S, d = centers.shape
+    bw2 = bandwidth * bandwidth
+    ball_stats = _make_ball_stats(X, x_valid, chunk, bw2, S, use_pallas)
 
     # seeds never frozen (hit max_iter): record their final ball population
     counts, _ = ball_stats(centers)
@@ -162,8 +281,14 @@ def _fit_impl(
     return sc, unique
 
 
+_finalize_kernel = jax.jit(
+    _finalize_impl, static_argnames=("chunk", "use_pallas")
+)
+
+
 _fit_kernel = jax.jit(
-    _fit_impl, static_argnames=("max_iter", "chunk", "use_pallas")
+    _fit_impl,
+    static_argnames=("max_iter", "chunk", "use_pallas", "cycle_shortcut"),
 )
 
 
@@ -239,6 +364,117 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def _use_phased(S_pad: int) -> bool:
+    """Host-driven phased fit with seed compaction: OPT-IN
+    (CELLULUS_TPU_PHASED_MEANSHIFT=1), kept as a measured NEGATIVE result
+    on this hardware: on real 3D embeddings at bench scale, 72 % of the
+    ~12k bin seeds neither converge nor enter exact period-2 cycles (they
+    wander at f32-noise amplitude above sklearn's 1e-3·bandwidth stop
+    threshold), so the live set plateaus at ~8.6k and the fit runs all
+    300 sklearn-semantic iterations regardless — compaction saves ~25 %
+    of the distance work while ~37 extra host round-trips cost 2-3x that
+    over the tunneled chip (NOTES.md round 5). It would win on a
+    directly-attached host (RTT ~none) or workloads whose seeds mostly
+    converge; the bit-exactness tests keep it safe to flip.
+    """
+    from ..utils.env import env_flag
+
+    return env_flag("CELLULUS_TPU_PHASED_MEANSHIFT")
+
+
+def _phased_fit(
+    X_fit_dev,  # (Nf_pad, d) jnp, zero-padded
+    fit_valid_dev,  # (Nf_pad,) jnp bool
+    seeds: np.ndarray,  # (S0, d) float32, unpadded
+    bandwidth: float,
+    max_iter: int,
+    chunk: int,
+    phase_iters: int = 8,
+):
+    """Run the mean-shift fit as host-driven phases, compacting frozen
+    seeds away between phases.
+
+    Bit-exact vs the monolithic ``_fit_impl``: seed trajectories are
+    independent (ball_stats reads only the fixed point set), per-phase
+    ``n_final``/``frozen`` restarts reproduce the monolithic recurrence
+    (a seed's population is recorded the iteration it freezes), and the
+    N-chunked accumulation uses the SAME ``chunk`` in every phase, so each
+    seed's arithmetic is identical regardless of the live-set size
+    (tests/test_pallas_mean_shift.py::test_phased_fit_matches_monolithic).
+
+    Returns full-seed-set ``(centers (S_pad, d), n_final, frozen,
+    s_valid)`` numpy arrays in original seed order, ready for
+    ``_finalize_kernel``.
+    """
+    from ..utils.profiling import time_device
+
+    S0, d = seeds.shape
+    S_pad = _next_pow2(max(S0, 64))
+    centers_res = np.zeros((S_pad, d), np.float32)
+    nfinal_res = np.zeros((S_pad,), np.float32)
+    frozen_res = np.ones((S_pad,), bool)  # padding rows freeze immediately
+    s_valid = np.zeros((S_pad,), bool)
+    s_valid[:S0] = True
+
+    from ..utils.env import env_flag
+
+    debug = env_flag("CELLULUS_TPU_PHASED_DEBUG")
+    active_idx = np.arange(S0)
+    centers_a = np.ascontiguousarray(seeds, np.float32)
+    prev_a = np.full_like(centers_a, np.inf)
+    it = 0
+    while len(active_idx) and it < max_iter:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        Sa = _next_pow2(max(len(active_idx), 64))
+        v = np.zeros((Sa,), bool)
+        v[: len(active_idx)] = True
+        c, pv, nf, fr, ha, it_new = time_device(
+            "detect.device",
+            _evolve_kernel,
+            X_fit_dev,
+            fit_valid_dev,
+            jnp.asarray(_pad_rows(centers_a, Sa)),
+            jnp.asarray(_pad_rows(prev_a, Sa)),
+            jnp.zeros((Sa,), jnp.float32),
+            jnp.asarray(~v),
+            jnp.asarray(~v),
+            jnp.int32(it),
+            jnp.float32(bandwidth),
+            phase_iters=phase_iters,
+            max_iter=max_iter,
+            chunk=chunk,
+        )
+        n_act = len(active_idx)
+        c_np, pv_np, nf_np, fr_np, ha_np = (
+            np.asarray(a)[:n_act] for a in jax.device_get((c, pv, nf, fr, ha))
+        )
+        it = int(it_new)
+        done = ha_np  # frozen OR cycled seeds leave the live set
+        cycled = done & ~fr_np
+        centers_res[active_idx[done]] = c_np[done]
+        nfinal_res[active_idx[done & fr_np]] = nf_np[done & fr_np]
+        # cycled seeds sit at their (parity-resolved) final position but
+        # never recorded a population: finalize recounts where ~frozen
+        frozen_res[active_idx[cycled]] = False
+        centers_a = np.ascontiguousarray(c_np[~done])
+        prev_a = np.ascontiguousarray(pv_np[~done])
+        active_idx = active_idx[~done]
+        if debug:
+            print(
+                f"[phased] Sa={Sa} it->{it} done={int(done.sum())}/{n_act} "
+                f"(cycled {int(cycled.sum())}) "
+                f"wall={_time.perf_counter() - t0:.3f}s", flush=True,
+            )
+
+    if len(active_idx):  # hit max_iter unfrozen: finalize recounts these
+        centers_res[active_idx] = centers_a
+        frozen_res[active_idx] = False
+
+    return centers_res, nfinal_res, frozen_res, s_valid
+
+
 def _use_pallas(requested: Optional[bool] = None) -> bool:
     """Pallas fit kernel is OPT-IN (``inference_config.pallas_mean_shift``
     or, when that is None, CELLULUS_TPU_PALLAS=1): on trained embeddings at
@@ -304,6 +540,48 @@ def mean_shift_fit_predict(
         chunk_p //= 2
 
     from ..utils.profiling import time_device
+
+    if _use_phased(S_pad) and not _use_pallas(use_pallas):
+        # host-driven phases with seed compaction (bit-exact; the fit's
+        # S×N distance traffic shrinks with the live seed set) + a
+        # predict over only the deduped centers (~2x fewer rows)
+        X_fit_dev = jnp.asarray(_pad_rows(X_fit, N_pad))
+        fit_valid_dev = jnp.asarray(_pad_rows(np.ones(len(X_fit), bool), N_pad))
+        centers, n_final, frozen, s_valid = _phased_fit(
+            X_fit_dev, fit_valid_dev, seeds, bandwidth, max_iter, chunk
+        )
+        sc, unique = time_device(
+            "detect.device",
+            _finalize_kernel,
+            X_fit_dev,
+            fit_valid_dev,
+            jnp.asarray(centers),
+            jnp.asarray(n_final),
+            jnp.asarray(frozen),
+            jnp.asarray(s_valid),
+            jnp.float32(bandwidth),
+            chunk=chunk,
+        )
+        sc_np = np.asarray(sc)
+        u_np = np.asarray(unique)
+        n_centers = int(u_np.sum())
+        if n_centers == 0:
+            return np.full((n,), -1, np.int32)
+        # compact to valid centers only (keeps order => same compact ids)
+        Sp = _next_pow2(max(n_centers, 64))
+        chunk_pc = max(256, min(1 << 18, (1 << 26) // Sp, Np_pad))
+        while Np_pad % chunk_pc:
+            chunk_pc //= 2
+        labels = time_device(
+            "detect.device",
+            _predict_kernel,
+            jnp.asarray(_pad_rows(X, Np_pad)),
+            jnp.asarray(_pad_rows(sc_np[u_np], Sp)),
+            jnp.asarray(_pad_rows(np.ones(n_centers, bool), Sp)),
+            jnp.float32(bandwidth),
+            chunk=chunk_pc,
+        )
+        return np.asarray(labels[:n]).astype(np.int32)
 
     labels_u16 = time_device(
         "detect.device",

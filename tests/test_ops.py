@@ -184,6 +184,83 @@ def test_mean_shift_orphans_get_minus_one():
     assert labels[2] == -1
 
 
+def test_cycle_shortcut_is_exact():
+    """The period-2 oscillation shortcut must not change ANY output bit:
+    run the fit kernel with and without it on data engineered to leave
+    most seeds oscillating at max_iter (uniform points: flat-kernel mean
+    shift 2-cycles), and compare centers + dedupe masks exactly."""
+    import jax.numpy as jnp
+
+    from cellulus_tpu.ops.mean_shift import (
+        _fit_kernel,
+        _next_pow2,
+        _pad_rows,
+        bin_seeds,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.uniform(0, 60, size=(6000, 3)).astype(np.float32)
+    bw = 2.5
+    seeds = bin_seeds(X, bw)
+    N_pad = _next_pow2(max(len(X), 256))
+    S_pad = _next_pow2(max(len(seeds), 64))
+    chunk = max(256, min(1 << 18, (1 << 26) // S_pad, N_pad))
+    while N_pad % chunk:
+        chunk //= 2
+    args = (
+        jnp.asarray(_pad_rows(X, N_pad)),
+        jnp.asarray(_pad_rows(np.ones(len(X), bool), N_pad)),
+        jnp.asarray(_pad_rows(seeds, S_pad)),
+        jnp.asarray(_pad_rows(np.ones(len(seeds), bool), S_pad)),
+        jnp.float32(bw),
+    )
+    sc_fast, uniq_fast = _fit_kernel(
+        *args, max_iter=50, chunk=chunk, cycle_shortcut=True
+    )
+    sc_slow, uniq_slow = _fit_kernel(
+        *args, max_iter=50, chunk=chunk, cycle_shortcut=False
+    )
+    np.testing.assert_array_equal(np.asarray(sc_fast), np.asarray(sc_slow))
+    np.testing.assert_array_equal(np.asarray(uniq_fast), np.asarray(uniq_slow))
+
+
+def test_phased_fit_matches_monolithic(monkeypatch):
+    """The host-driven phased fit (seed compaction between phases +
+    compacted-center predict) must be BIT-IDENTICAL to the single fused
+    dispatch: trajectories are seed-independent and the N-chunk stays
+    fixed, so no float op changes (docs in ops/mean_shift.py)."""
+    rng = np.random.default_rng(7)
+    # many small clusters => many bin seeds freezing at different times,
+    # plus orphans => exercises compaction, max_iter handling, dedupe
+    centers = rng.uniform(0, 100, size=(40, 3)).astype(np.float32)
+    X = np.concatenate(
+        [rng.normal(c, 0.8, size=(50, 3)) for c in centers]
+        + [rng.uniform(-50, -40, size=(5, 3))]
+    ).astype(np.float32)
+    kwargs = dict(bandwidth=3.0, seeds=None, reduction_probability=1.0)
+
+    monkeypatch.setenv("CELLULUS_TPU_PHASED_MEANSHIFT", "0")
+    mono = mean_shift_fit_predict(X, **kwargs)
+    monkeypatch.setenv("CELLULUS_TPU_PHASED_MEANSHIFT", "1")
+    phased = mean_shift_fit_predict(X, **kwargs)
+    np.testing.assert_array_equal(mono, phased)
+
+
+def test_phased_fit_matches_monolithic_max_iter(monkeypatch):
+    """Seeds still live at max_iter take the finalize-recount path; the
+    phased driver must reproduce it exactly."""
+    rng = np.random.default_rng(3)
+    X = rng.uniform(0, 60, size=(4000, 2)).astype(np.float32)
+    kwargs = dict(
+        bandwidth=2.5, seeds=None, reduction_probability=1.0, max_iter=3
+    )
+    monkeypatch.setenv("CELLULUS_TPU_PHASED_MEANSHIFT", "0")
+    mono = mean_shift_fit_predict(X, **kwargs)
+    monkeypatch.setenv("CELLULUS_TPU_PHASED_MEANSHIFT", "1")
+    phased = mean_shift_fit_predict(X, **kwargs)
+    np.testing.assert_array_equal(mono, phased)
+
+
 def test_add_coordinate_grid_2d():
     offsets = np.zeros((2, 3, 4), np.float32)
     out = add_coordinate_grid(offsets)
