@@ -64,6 +64,10 @@ def main():
                     choices=("float16", "float32"),
                     help="inference d2h embedding transfer dtype (this "
                          "script's historical protocol is float16)")
+    ap.add_argument("--mean-shift-max-iter", type=int, default=None,
+                    help="cap detect's mean-shift fit iterations "
+                         "(inference_config.mean_shift_max_iterations; "
+                         "sklearn-parity default 300)")
     ap.add_argument("--seed", type=int, default=0,
                     help="train_config.seed (init + sampling streams); "
                          "non-zero seeds drive run-to-run variance cells")
@@ -134,9 +138,16 @@ def main():
                 "num_workers": 4,
                 "elastic_deform": True,
                 **({"elastic_on_device": True,
+                    # 2D bundles the K-step scan (quality gates pass with
+                    # it); 3D does NOT: at the validated 3D point the
+                    # recipe is marginally stable and spd=4 has never
+                    # produced a good run (0/6) while spd=1 seed-matches
+                    # the density sweep's F1 0.957 — see
+                    # docs/validation.md "round-5 verdict"
                     "steps_per_dispatch": (
                         args.steps_per_dispatch
-                        if args.steps_per_dispatch is not None else 4
+                        if args.steps_per_dispatch is not None
+                        else (4 if args.ndim == 2 else 1)
                     ),
                     "device_pair_sampling": args.loss_mode == "pairs"}
                    if args.fast else {}),
@@ -204,6 +215,10 @@ def main():
     out["groundtruth"] = np.asarray(src["groundtruth"][...])
     out["groundtruth"].attrs.update(src["groundtruth"].attrs.asdict())
 
+    if args.mean_shift_max_iter is not None:
+        config.inference_config.mean_shift_max_iterations = (
+            args.mean_shift_max_iter
+        )
     config.model_config.checkpoint = work / args.checkpoint
     results = cellulus_tpu.infer(config)
     print("RESULTS:", results)
@@ -234,6 +249,8 @@ def main():
             row["skip_train"] = True
         if args.checkpoint != "models/best_loss.ckpt":
             row["checkpoint"] = args.checkpoint
+        if args.mean_shift_max_iter is not None:
+            row["mean_shift_max_iter"] = args.mean_shift_max_iter
         path = Path(args.results_json)
         path.parent.mkdir(parents=True, exist_ok=True)
         with path.open("a") as fh:
