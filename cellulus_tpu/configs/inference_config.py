@@ -68,6 +68,15 @@ class InferenceConfig:
             build host's tunnel; measured SLOWER over the tunnel (0.65 vs
             0.37 s/sample, NOTES.md). ``None`` defers to the
             ``CELLULUS_TPU_DEVICE_DETECT`` env var.
+        spatial_shards: [tpu extension] predict each sample as ONE
+            whole-volume forward sharded over this many devices along the
+            first spatial axis, exchanging conv halos over the ICI
+            (`parallel/spatial.py`; the workload's sequence-parallelism
+            analogue). 0/1 = the default independent-tile path. Per-pixel
+            outputs are bit-identical to the tiled path when
+            `p_salt_pepper == 0` (with noise the TTA draws differ: tiles
+            key noise per tile, the sharded forward per sample). Requires
+            `len(jax.devices()) >= spatial_shards`.
         device_nucleus: run "nucleus" post-processing on device — ONE
             dispatch per (sample, bandwidth) vectorizing all instances'
             Otsu thresholds + hole fills (vs the reference's serial
@@ -118,6 +127,7 @@ class InferenceConfig:
     device_nucleus: Optional[bool] = None
     pallas_mean_shift: Optional[bool] = None
     pipeline_ram_gb: Optional[float] = None
+    spatial_shards: int = 0
 
     def __post_init__(self) -> None:
         for name in (
@@ -158,3 +168,6 @@ class InferenceConfig:
             self.pipeline_ram_gb = float(self.pipeline_ram_gb)
             if self.pipeline_ram_gb <= 0:
                 raise ValueError("pipeline_ram_gb must be positive")
+        self.spatial_shards = int(self.spatial_shards)
+        if self.spatial_shards < 0:
+            raise ValueError("spatial_shards must be >= 0")

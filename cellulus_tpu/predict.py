@@ -128,6 +128,31 @@ def predict_sample(
         ``(D+1, *spatial)`` embeddings (when ``write_fn`` is None), or a
         ``(host_result, device_array)`` tuple when ``return_device``.
     """
+    shards = int(getattr(inference_config, "spatial_shards", 0) or 0)
+    if shards >= 2 and raw is not None and write_fn is None and mesh is None:
+        # whole-sample sharded forward over the device mesh (ICI halo
+        # exchange) instead of independent tiles — config knob
+        # `spatial_shards`, see parallel/spatial.py
+        import jax as _jax
+
+        if len(_jax.devices()) < shards:
+            raise ValueError(
+                f"spatial_shards={shards} but only "
+                f"{len(_jax.devices())} devices are visible"
+            )
+        from .parallel.spatial import spatial_tta_sample
+
+        result = spatial_tta_sample(
+            spec,
+            params,
+            raw,
+            inference_config,
+            normalization_factor,
+            sample_seed=sample_seed,
+            compute_dtype=compute_dtype,
+        )
+        return (result, None) if return_device else result
+
     crop_size = tuple(inference_config.crop_size)
     geometry = compute_geometry(crop_size, spec.downsampling_factors)
     out_tile = geometry.output_size
@@ -346,6 +371,28 @@ def predict(
 
     raw_container = zarr.open(dataset_config.container_path, "r")
     raw_ds = raw_container[dataset_config.dataset_name]
+
+    if int(getattr(inference_config, "spatial_shards", 0) or 0) >= 2:
+        # whole-sample sharded forward (config knob `spatial_shards`):
+        # each sample is one mesh-wide dispatch with ICI halo exchange
+        from .io.meta_data import spatial_attrs as _sp_attrs
+
+        for sample in range(meta.num_samples):
+            raw = np.asarray(raw_ds[sample], np.float32)
+            if raw.ndim == meta.num_spatial_dims:  # no channel axis stored
+                raw = raw[None]
+            out = predict_sample(
+                spec,
+                params,
+                raw,
+                inference_config,
+                normalization_factor,
+                sample_seed=sample,
+                compute_dtype=compute_dtype,
+            )
+            ds[sample] = out
+        ds.attrs.update(_sp_attrs(meta))
+        return
 
     mesh = None
     if len(jax.devices()) > 1:
