@@ -54,7 +54,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5000)
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--workdir", default=None)
-    ap.add_argument("--scale", type=int, default=2)
+    ap.add_argument("--scale", type=float, default=2,
+                    help="upsample factor for raw/GT (fractional values "
+                         "supported for the paper's Table-2 scale sweep; "
+                         "crop auto-clamps to the scaled panel size)")
     ap.add_argument("--crop", type=int, default=140)
     ap.add_argument("--num-bandwidths", type=int, default=5)
     ap.add_argument("--bandwidth", type=float, default=None,
@@ -98,6 +101,9 @@ def main():
                          "(path relative to the workdir; use with "
                          "--skip-train and --results-tag for a "
                          "checkpoint-vs-F1 curve)")
+    ap.add_argument("--keep-out", action="store_true",
+                    help="keep out_<tag>.zarr after a tagged run (the "
+                         "detect sweep re-clusters those embeddings)")
     ap.add_argument("--results-tag", default=None,
                     help="write results_<tag>.json and a throwaway "
                          "out_<tag>.zarr instead of clobbering the "
@@ -145,7 +151,9 @@ def main():
     )  # (5T, 126, 126)
     paper_f1 = [f for t in tissues for f in PAPER_F1[t]]
     panel_names = [f"{t}/{i}" for t in tissues for i in range(5)]
-    k = args.scale
+    # keep integral scales as ints: the data.zarr source_stamp of every
+    # committed workdir recorded e.g. 3, and 3.0 would force regeneration
+    k = int(args.scale) if float(args.scale).is_integer() else args.scale
     if args.normalize_per_panel:
         p = np.percentile(raw, 99.5, axis=(-2, -1), keepdims=True)
         raw = np.clip(raw / np.maximum(p, 1e-3), 0.0, 1.0)
@@ -158,6 +166,22 @@ def main():
     object_size = derive_object_size(gt, k)
     print(f"{args.tissue}: object_size {object_size} (at {k}x, from the "
           "median GT instance area)")
+
+    # clamp the train/infer crop to the scaled panel (low scales shrink
+    # panels below the 140 default), keeping a U-Net-valid size
+    panel = min(raw_up.shape[-2:])
+    if args.crop > panel:
+        from cellulus_tpu.models import compute_geometry as _geom
+
+        crop = panel
+        while crop > 16:
+            try:
+                _geom((crop, crop), [[2, 2]])
+                break
+            except Exception:
+                crop -= 1
+        print(f"crop {args.crop} > {panel}px panel at scale {k}; using {crop}")
+        args.crop = crop
 
     # regenerate data.zarr when the flags that shape its pixels change —
     # reusing a container built under different --scale/--tissue/
@@ -338,8 +362,10 @@ def main():
     if args.results_tag:
         # tagged runs are throwaway probes (checkpoint-vs-F1 curves): keep
         # only the scores, not ~35 MB of embeddings per tag, and leave the
-        # canonical out.zarr/overlay untouched
-        shutil.rmtree(work / out_name, ignore_errors=True)
+        # canonical out.zarr/overlay untouched — unless the detect sweep
+        # asked for the embeddings (--keep-out)
+        if not args.keep_out:
+            shutil.rmtree(work / out_name, ignore_errors=True)
         return summary
 
     # overlay previews for visual audit (panel 2 = 50th percentile)

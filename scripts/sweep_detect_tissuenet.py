@@ -69,10 +69,21 @@ def main() -> None:
     ap.add_argument("--num-bandwidths", type=int, default=5)
     ap.add_argument("--variants", default=None,
                     help="comma-separated subset of variant names to run")
+    ap.add_argument("--checkpoint", default=None,
+                    help="sweep THIS checkpoint's embeddings instead of "
+                         "best_loss's (path relative to the workdir; "
+                         "embeddings regenerate into out_<tag>.zarr and "
+                         "results write to detect_sweep_<tag>.json — "
+                         "measured-selection × detect-recipe composition)")
+    ap.add_argument("--tag", default=None,
+                    help="suffix for the out container / sweep json "
+                         "(default: derived from --checkpoint)")
     ap.add_argument("--cpu", action="store_true",
                     help="run the detect kernels on CPU (e.g. while the "
                          "TPU is held by a training run)")
     args = ap.parse_args()
+    if args.checkpoint and not args.tag:
+        args.tag = "ck" + Path(args.checkpoint).stem
 
     if args.cpu:
         import jax
@@ -105,13 +116,14 @@ def main() -> None:
     base_bw = 0.5 * object_size
     base_min_size = int(0.1 * np.pi * object_size**2 / 4)
 
-    if not (work / "out.zarr" / "embeddings").exists():
+    out_name = f"out_{args.tag}.zarr" if args.tag else "out.zarr"
+    if not (work / out_name / "embeddings").exists():
         # Self-heal: the canonical out.zarr is gitignored scratch (host
         # reboots wipe it) and tagged checkpoint scorings delete their own
-        # out_<tag>.zarr — regenerate embeddings from best_loss.ckpt by
-        # re-running the canonical skip-train inference with the run's own
-        # stamped flags (results.json), so the sweep never depends on
-        # scratch surviving between sessions.
+        # out_<tag>.zarr — regenerate embeddings from best_loss.ckpt (or
+        # the requested --checkpoint) by re-running the skip-train
+        # inference with the run's own stamped flags (results.json), so
+        # the sweep never depends on scratch surviving between sessions.
         import subprocess
 
         rj = work / "results.json"
@@ -125,6 +137,10 @@ def main() -> None:
             "--num-fmaps", str(flags.get("num_fmaps", 24)),
             "--num-bandwidths", str(flags.get("num_bandwidths", 5)),
         ]
+        if args.checkpoint:
+            cmd += ["--checkpoint", args.checkpoint]
+        if args.tag:
+            cmd += ["--results-tag", args.tag, "--keep-out"]
         if flags.get("normalize_per_panel"):
             cmd.append("--normalize-per-panel")
         if flags.get("threshold_quantile") is not None:
@@ -138,7 +154,7 @@ def main() -> None:
     # pooled std-channel quantiles as GT-free fixed-threshold candidates
     # (per-run approximation of a per-sample quantile: panels within a
     # tissue share an intensity regime)
-    emb = zarr.open(work / "out.zarr", "r")["embeddings"]
+    emb = zarr.open(work / out_name, "r")["embeddings"]
     std_all = np.concatenate(
         [np.asarray(emb[s])[-1].ravel() for s in range(emb.shape[0])]
     )
@@ -184,7 +200,9 @@ def main() -> None:
         names = args.variants.split(",")
         variants = {n: variants[n] for n in names}
 
-    results_path = work / "detect_sweep.json"
+    results_path = work / (
+        f"detect_sweep_{args.tag}.json" if args.tag else "detect_sweep.json"
+    )
     all_results = (
         json.loads(results_path.read_text()) if results_path.exists() else {}
     )
@@ -202,12 +220,12 @@ def main() -> None:
                     "dataset_name": "train",
                 },
                 "detection_dataset_config": {
-                    "container_path": str(work / "out.zarr"),
+                    "container_path": str(work / out_name),
                     "dataset_name": "detection",
                     "secondary_dataset_name": "embeddings",
                 },
                 "segmentation_dataset_config": {
-                    "container_path": str(work / "out.zarr"),
+                    "container_path": str(work / out_name),
                     "dataset_name": "segmentation",
                     "secondary_dataset_name": "detection",
                 },
@@ -216,12 +234,12 @@ def main() -> None:
         )
         for ds in ("detection", "binary-segmentation", "centered-embeddings",
                    "segmentation"):
-            p = work / "out.zarr" / ds
+            p = work / out_name / ds
             if p.exists():
                 shutil.rmtree(p)
         detect(ic)
         segment(ic)
-        out = zarr.open(work / "out.zarr", "r")
+        out = zarr.open(work / out_name, "r")
         det_scores = per_panel_scores(np.asarray(out["detection"]), gt_up)
         seg_scores = per_panel_scores(np.asarray(out["segmentation"]), gt_up)
         best_det = max(range(len(det_scores)),
