@@ -312,6 +312,14 @@ def main():
         if args.checkpoint
         else work / "models" / "best_loss.ckpt"
     )
+    if not ckpt.exists():
+        # gitignored models/ is reboot-wiped scratch; committed runs keep
+        # their checkpoints under git-tracked ckpt/ (round-3 lesson) —
+        # fall back there so --skip-train scoring survives reboots
+        alt = work / "ckpt" / ckpt.name
+        if alt.exists():
+            print(f"{ckpt} missing; using committed {alt}")
+            ckpt = alt
     config.model_config.checkpoint = ckpt
     results = cellulus_tpu.infer(config)
 

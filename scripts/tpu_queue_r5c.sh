@@ -1,0 +1,59 @@
+#!/bin/bash
+# Round-5c queue — re-run the r5b phase-A sweeps that failed on
+# reboot-wiped models/ dirs (runner now falls back to the committed
+# ckpt/ copies). Measured-best-checkpoint cells are only possible where
+# numbered checkpoints were committed: pancreas_s3h (full 1k cadence).
+# skin_s3n / immune_s3c keep only best_loss + 009999 in ckpt/, so their
+# measured-best (1k / 6k) sweeps are unrunnable post-reboot.
+#
+# Usage: WAIT_PID=<r5b pid> setsid bash scripts/tpu_queue_r5c.sh > /tmp/tpu_queue_r5c.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+MAX_S=$(python3 -c "import os; print(int(float(os.environ.get('QUEUE_MAX_HOURS','3'))*3600))")
+RD=examples/real-data
+
+log() { echo "[$(date +%H:%M:%S)] $*"; }
+run() { log "RUN $*"; "$@"; log "DONE (exit $?) $*"; }
+
+commit_paths() {
+  local msg="$1"; shift
+  local existing=()
+  for p in "$@"; do [ -e "$p" ] && existing+=("$p"); done
+  [ ${#existing[@]} -eq 0 ] && { log "commit skipped (nothing exists): $msg"; return; }
+  git add -- "${existing[@]}"
+  if ! git diff --cached --quiet -- "${existing[@]}"; then
+    git commit -q -m "$msg" -- "${existing[@]}" && log "COMMITTED: $msg"
+  else
+    log "commit skipped (no changes): $msg"
+  fi
+}
+
+should_stop() {
+  [ -f .queue_stop ] && { log "STOP sentinel found; exiting"; return 0; }
+  if [ $(( $(date +%s) - START_TS )) -ge "$MAX_S" ]; then
+    log "deadline (QUEUE_MAX_HOURS) reached; stopping"; return 0
+  fi
+  return 1
+}
+
+if [ -n "${WAIT_PID:-}" ]; then
+  log "waiting for PID $WAIT_PID to exit"
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+fi
+START_TS=$(date +%s)
+
+sweep() {
+  local wd="$1" tissue="$2"; shift 2
+  should_stop && return
+  run python -u scripts/sweep_detect_tissuenet.py \
+      --workdir "$RD/$wd" --tissue "$tissue" --scale 3 "$@"
+  commit_paths "r5c detect sweep: $wd $*" \
+      "$RD/$wd"/detect_sweep*.json "$RD/$wd"/results_*.json
+}
+
+sweep tissuenet_pancreas_s3h pancreas
+sweep tissuenet_pancreas_s3h pancreas --checkpoint models/001003.ckpt
+sweep tissuenet_skin_s3n skin --tag best10k
+sweep tissuenet_immune_s3c immune --tag best10k
+
+log "queue r5c complete"
