@@ -127,7 +127,8 @@ def main() -> None:
         import subprocess
 
         rj = work / "results.json"
-        flags = json.loads(rj.read_text()).get("flags", {}) if rj.exists() else {}
+        rj_orig = rj.read_text() if rj.exists() else None
+        flags = json.loads(rj_orig).get("flags", {}) if rj_orig else {}
         cmd = [
             sys.executable, "-u",
             str(REPO / "scripts" / "run_real_tissuenet.py"),
@@ -150,6 +151,11 @@ def main() -> None:
         print("embeddings missing — regenerating canonically:\n  "
               + " ".join(cmd), flush=True)
         subprocess.run(cmd, check=True)
+        if not args.tag and rj_orig is not None:
+            # the untagged regen rewrites results.json with skip-train
+            # flags — restore the ORIGINAL training run's provenance
+            # stamp (the regenerated embeddings are what we wanted)
+            rj.write_text(rj_orig)
 
     # pooled std-channel quantiles as GT-free fixed-threshold candidates
     # (per-run approximation of a per-sample quantile: panels within a
