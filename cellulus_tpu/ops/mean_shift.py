@@ -462,7 +462,7 @@ def _phased_fit(
         prev_a = np.ascontiguousarray(pv_np[~done])
         active_idx = active_idx[~done]
         if debug:
-            print(
+            print(  # noqa: debug-gated phased-fit diagnostics
                 f"[phased] Sa={Sa} it->{it} done={int(done.sum())}/{n_act} "
                 f"(cycled {int(cycled.sum())}) "
                 f"wall={_time.perf_counter() - t0:.3f}s", flush=True,

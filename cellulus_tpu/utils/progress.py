@@ -8,7 +8,6 @@ to stderr. Disable with ``CELLULUS_TPU_NO_PROGRESS=1`` (tests/benches).
 
 from __future__ import annotations
 
-import os
 import sys
 import time
 from typing import Iterable, Iterator, Optional, TypeVar
